@@ -1,0 +1,315 @@
+"""Device (TPU/JAX) finite-field arithmetic for BN254.
+
+Design (TPU-first, see /opt/skills/guides/pallas_guide.md):
+
+* TPUs have no 64-bit integer multiply, so a field element is sixteen 16-bit
+  limbs held in uint32 lanes.  16x16->32-bit limb products are exact in
+  uint32; product columns are accumulated with *deferred carries* (column
+  magnitudes stay < 2^23 << 2^32), and carries are propagated in short
+  sequential chains.  This replaces the reference's 4x64 Montgomery form
+  (arithmetic/curves/src/derive/field.rs:345-464) with a layout the VPU can
+  chew on.
+
+* Arrays are **limbs-leading**: shape (16, *batch).  The batch axis is
+  trailing so it lands on TPU lanes (128-wide); the limb axis (16) sits on
+  sublanes.  All ops are elementwise in the batch dims => XLA fuses the whole
+  limb pipeline into a handful of vectorized loops.
+
+* Montgomery representation (R = 2^256): mont_mul(a, b) = a*b*R^{-1} mod p,
+  same convention as the reference field macros, so golden values can be
+  cross-checked limb-for-limb against fields/host.py.
+
+Two moduli are instantiated: Fr (scalar field; NTT/witness math) and Fq
+(base field; G1 point coordinates inside the MSM).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import host
+
+NLIMB = 16          # limbs per element
+LIMB_BITS = 16
+MASK = (1 << LIMB_BITS) - 1
+U32 = jnp.uint32
+
+
+def _int_to_limbs(x: int) -> np.ndarray:
+    return np.array([(x >> (LIMB_BITS * i)) & MASK for i in range(NLIMB)], dtype=np.uint32)
+
+
+@dataclass(frozen=True)
+class FieldCtx:
+    """Static per-modulus constants baked into jitted kernels."""
+    p: int
+    name: str
+    p_limbs: np.ndarray = field(repr=False, default=None)
+    n0: int = 0                 # -p^{-1} mod 2^16 (Montgomery digit constant)
+    r: int = 0                  # R mod p
+    r2: int = 0                 # R^2 mod p
+    r_limbs: np.ndarray = field(repr=False, default=None)
+    r2_limbs: np.ndarray = field(repr=False, default=None)
+
+    @staticmethod
+    def make(p: int, name: str) -> "FieldCtx":
+        n0 = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        r = (1 << 256) % p
+        r2 = (r * r) % p
+        return FieldCtx(
+            p=p, name=name,
+            p_limbs=_int_to_limbs(p), n0=n0, r=r, r2=r2,
+            r_limbs=_int_to_limbs(r), r2_limbs=_int_to_limbs(r2),
+        )
+
+
+FR = FieldCtx.make(host.FR_MOD, "Fr")
+FQ = FieldCtx.make(host.FQ_MOD, "Fq")
+
+
+# ------------------------- host <-> device conversion -----------------------
+
+def pack(values: Sequence[int], ctx: FieldCtx, mont: bool = True) -> jnp.ndarray:
+    """ints -> uint32[16, n] device array (Montgomery form by default)."""
+    if mont:
+        values = [(v % ctx.p) * ctx.r % ctx.p for v in values]
+    arr = np.zeros((NLIMB, len(values)), dtype=np.uint32)
+    for j, v in enumerate(values):
+        for i in range(NLIMB):
+            arr[i, j] = (v >> (LIMB_BITS * i)) & MASK
+    return jnp.asarray(arr)
+
+
+def unpack(arr, ctx: FieldCtx, mont: bool = True) -> list:
+    """uint32[16, *batch] -> list of ints (flattened batch, C order)."""
+    a = np.asarray(jax.device_get(arr)).astype(object)
+    a = a.reshape(NLIMB, -1)
+    out = []
+    rinv = pow(ctx.r, ctx.p - 2, ctx.p) if mont else 1
+    for j in range(a.shape[1]):
+        v = 0
+        for i in range(NLIMB):
+            v |= int(a[i, j]) << (LIMB_BITS * i)
+        out.append((v * rinv) % ctx.p if mont else v % ctx.p)
+    return out
+
+
+def pack_scalar(v: int, ctx: FieldCtx, mont: bool = True) -> jnp.ndarray:
+    return pack([v], ctx, mont=mont)[:, 0]
+
+
+def zeros(batch_shape, ctx: FieldCtx = FR) -> jnp.ndarray:
+    return jnp.zeros((NLIMB, *batch_shape), dtype=U32)
+
+
+def ones(batch_shape, ctx: FieldCtx = FR) -> jnp.ndarray:
+    """Montgomery one (= R mod p) broadcast over the batch."""
+    one = jnp.asarray(ctx.r_limbs, dtype=U32).reshape((NLIMB,) + (1,) * len(batch_shape))
+    return jnp.broadcast_to(one, (NLIMB, *batch_shape)).astype(U32)
+
+
+def const_array(ctx: FieldCtx, value: int, batch_shape=()) -> jnp.ndarray:
+    """Montgomery-form constant broadcast to a batch shape."""
+    v = (value % ctx.p) * ctx.r % ctx.p
+    limbs = jnp.asarray(_int_to_limbs(v), dtype=U32).reshape((NLIMB,) + (1,) * len(batch_shape))
+    return jnp.broadcast_to(limbs, (NLIMB, *batch_shape)).astype(U32)
+
+
+def _pconst(ctx: FieldCtx, a):
+    """Modulus limbs broadcast against a's batch shape."""
+    shape = (NLIMB,) + (1,) * (a.ndim - 1)
+    return jnp.asarray(ctx.p_limbs, dtype=U32).reshape(shape)
+
+
+# ------------------------------ core kernels --------------------------------
+# All kernels take/return uint32[16, *batch]; they are pure jnp so XLA fuses
+# them; a Pallas fast path can swap in underneath without API change.
+
+def _carry_canonicalize(cols, nout: int):
+    """Propagate carries over a list of uint32 columns -> nout 16-bit limbs.
+    Returns (limbs list, final carry)."""
+    out = []
+    carry = None
+    for i in range(nout):
+        v = cols[i] if i < len(cols) else jnp.zeros_like(cols[0])
+        if carry is not None:
+            v = v + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return out, carry
+
+
+def _geq(a_limbs, b_limbs):
+    """a >= b over 16-bit limb lists (little-endian), branch-free."""
+    ge = None
+    for i in range(len(a_limbs)):
+        ai, bi = a_limbs[i], b_limbs[i]
+        gt_i = ai > bi
+        eq_i = ai == bi
+        if ge is None:
+            ge = gt_i | eq_i
+        else:
+            ge = gt_i | (eq_i & ge)
+    return ge
+
+
+def _sub_limbs(a_limbs, b_limbs):
+    """a - b mod 2^256 over limb lists with borrow chain."""
+    out = []
+    borrow = jnp.zeros_like(a_limbs[0])
+    for i in range(len(a_limbs)):
+        v = a_limbs[i] - b_limbs[i] - borrow
+        out.append(v & MASK)
+        borrow = (v >> 31) & 1  # negative in uint32 arith => top bit set
+    return out, borrow
+
+
+def _stack(limbs) -> jnp.ndarray:
+    return jnp.stack(limbs, axis=0).astype(U32)
+
+
+def _unstack(a) -> list:
+    return [a[i] for i in range(a.shape[0])]
+
+
+def add(a, b, ctx: FieldCtx = FR):
+    """(a + b) mod p."""
+    al, bl = _unstack(a), _unstack(b)
+    s = [x + y for x, y in zip(al, bl)]
+    s, carry = _carry_canonicalize(s, NLIMB)
+    pl = _unstack(_pconst(ctx, a) + jnp.zeros_like(a))
+    d, borrow = _sub_limbs(s, pl)
+    need_sub = (carry > 0) | _geq(s, pl)
+    return _stack([jnp.where(need_sub, x, y) for x, y in zip(d, s)])
+
+
+def sub(a, b, ctx: FieldCtx = FR):
+    """(a - b) mod p."""
+    al, bl = _unstack(a), _unstack(b)
+    d, borrow = _sub_limbs(al, bl)
+    pl = _unstack(_pconst(ctx, a) + jnp.zeros_like(a))
+    dp = [x + y for x, y in zip(d, pl)]
+    dp, _ = _carry_canonicalize(dp, NLIMB)
+    under = borrow > 0
+    return _stack([jnp.where(under, x, y) for x, y in zip(dp, d)])
+
+
+def neg(a, ctx: FieldCtx = FR):
+    return sub(jnp.zeros_like(a), a, ctx)
+
+
+def is_zero(a):
+    """Boolean mask over the batch dims: a == 0 (all limbs zero)."""
+    return jnp.all(a == 0, axis=0)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=0)
+
+
+def select(mask, a, b):
+    """mask ? a : b  (mask over batch dims)."""
+    return jnp.where(mask[None, ...], a, b)
+
+
+def mont_mul(a, b, ctx: FieldCtx = FR):
+    """Montgomery product a*b*R^{-1} mod p.
+
+    Schoolbook 16x16 limb products with lo/hi split and deferred-carry column
+    accumulation, followed by digit-wise Montgomery reduction
+    (operand-scanning REDC with base 2^16).  Column magnitudes stay < 2^23.
+    """
+    al, bl = _unstack(a), _unstack(b)
+    zero = jnp.zeros(jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), dtype=U32)
+    t = [zero] * (2 * NLIMB + 1)
+    for i in range(NLIMB):
+        ai = al[i]
+        for j in range(NLIMB):
+            pij = ai * bl[j]
+            t[i + j] = t[i + j] + (pij & MASK)
+            t[i + j + 1] = t[i + j + 1] + (pij >> LIMB_BITS)
+    # REDC: 16 digit steps
+    n0 = np.uint32(ctx.n0)
+    pl = [np.uint32(int(x)) for x in ctx.p_limbs]
+    for i in range(NLIMB):
+        m = (t[i] * n0) & MASK
+        for j in range(NLIMB):
+            mp = m * pl[j]
+            t[i + j] = t[i + j] + (mp & MASK)
+            t[i + j + 1] = t[i + j + 1] + (mp >> LIMB_BITS)
+        # t[i] is now 0 mod 2^16; push its carry up
+        t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
+    res_cols = t[NLIMB:2 * NLIMB + 1]
+    limbs, carry = _carry_canonicalize(res_cols, NLIMB + 1)
+    # result < 2p fits in 16 limbs; limbs[16] must be zero
+    limbs = limbs[:NLIMB]
+    plc = [jnp.full_like(zero, x) for x in pl]
+    d, borrow = _sub_limbs(limbs, plc)
+    need_sub = _geq(limbs, plc)
+    return _stack([jnp.where(need_sub, x, y) for x, y in zip(d, limbs)])
+
+
+def mont_sq(a, ctx: FieldCtx = FR):
+    return mont_mul(a, a, ctx)
+
+
+def to_mont(a, ctx: FieldCtx = FR):
+    """standard form -> Montgomery form (multiply by R^2 then REDC)."""
+    r2 = jnp.broadcast_to(
+        jnp.asarray(ctx.r2_limbs, dtype=U32).reshape((NLIMB,) + (1,) * (a.ndim - 1)),
+        a.shape,
+    )
+    return mont_mul(a, r2, ctx)
+
+
+def from_mont(a, ctx: FieldCtx = FR):
+    """Montgomery form -> standard form (REDC against 1)."""
+    one = jnp.zeros_like(a).at[0].set(1)
+    return mont_mul(a, one, ctx)
+
+
+def pow_const(a, e: int, ctx: FieldCtx = FR):
+    """a^e for a host-known exponent (square-and-multiply, unrolled over the
+    ~254 exponent bits inside a fori_loop: one squaring + one masked multiply
+    per step; runs on the whole batch at once)."""
+    if e == 0:
+        return ones(a.shape[1:], ctx)
+    nbits = e.bit_length()
+    bits = jnp.asarray([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.uint32)
+
+    def body(i, acc):
+        acc = mont_sq(acc, ctx)
+        mul = mont_mul(acc, a, ctx)
+        return select(bits[i] == 1, mul, acc)
+
+    # first bit is always 1 => start from a
+    return jax.lax.fori_loop(1, nbits, body, a)
+
+
+def inv(a, ctx: FieldCtx = FR):
+    """Elementwise inverse via Fermat (a^{p-2}); inverse of 0 is 0."""
+    r = pow_const(a, ctx.p - 2, ctx)
+    return select(is_zero(a), jnp.zeros_like(a), r)
+
+
+# ------------------------------ convenience ---------------------------------
+
+def mul_scalar(a, scalar_limbs, ctx: FieldCtx = FR):
+    """Multiply a whole array by one Montgomery-form scalar (16,)."""
+    return mont_mul(a, scalar_limbs.reshape((NLIMB,) + (1,) * (a.ndim - 1)), ctx)
+
+
+def np_pack(values: Sequence[int], ctx: FieldCtx, mont: bool = True) -> np.ndarray:
+    """Like pack() but stays in numpy (for building constant tables)."""
+    if mont:
+        values = [(v % ctx.p) * ctx.r % ctx.p for v in values]
+    arr = np.zeros((NLIMB, len(values)), dtype=np.uint32)
+    for j, v in enumerate(values):
+        for i in range(NLIMB):
+            arr[i, j] = (v >> (LIMB_BITS * i)) & MASK
+    return arr

@@ -1,0 +1,122 @@
+"""Device radix-2 NTT over BN254 Fr.
+
+Semantics match the reference's `best_fft` (halo2_proofs/src/arithmetic.rs:
+171-274): bit-reversal permutation followed by log2(n) in-place butterfly
+stages; with input interpreted as coefficients the output is evaluations at
+the n powers of omega in natural order.  Inverse = same transform with
+omega^{-1} plus a final scale by n^{-1} (domain.rs:366-374).
+
+TPU mapping: the per-stage pair/twiddle indices are computed arithmetically
+from a broadcast iota (no index tables), each stage is two gathers, one
+Montgomery multiply, add/sub, and two scatters over the whole (16, n) limb
+array; the stage loop is a `lax.fori_loop`, so the compiled program is one
+butterfly body regardless of n.  Multi-chip scaling shards the batch axis
+(see parallel/).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import device as D
+from ..fields.device import FR, NLIMB, U32
+
+
+@functools.lru_cache(maxsize=32)
+def _bitrev_perm(k: int) -> np.ndarray:
+    n = 1 << k
+    perm = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        r = 0
+        x = i
+        for _ in range(k):
+            r = (r << 1) | (x & 1)
+            x >>= 1
+        perm[i] = r
+    return perm
+
+
+def powers_host(base: int, n: int, p: int) -> list:
+    """[1, base, base^2, ...] as ints (host; used for twiddle tables)."""
+    out = [1] * n
+    for i in range(1, n):
+        out[i] = out[i - 1] * base % p
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def twiddle_table(omega: int, k: int, p_name: str = "Fr") -> jnp.ndarray:
+    """(16, n//2) Montgomery-form table of omega^i, i < n/2."""
+    ctx = FR if p_name == "Fr" else D.FQ
+    n = 1 << k
+    vals = powers_host(omega % ctx.p, max(n // 2, 1), ctx.p)
+    return jnp.asarray(D.np_pack(vals, ctx))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _ntt_core(a: jnp.ndarray, twiddles: jnp.ndarray, k: int) -> jnp.ndarray:
+    n = 1 << k
+    perm = jnp.asarray(_bitrev_perm(k))
+    a = jnp.take(a, perm, axis=1)
+    if n == 1:
+        return a
+
+    j = jnp.arange(n // 2, dtype=jnp.int32)
+
+    def stage(s, x):
+        half_mask = (jnp.int32(1) << s) - 1          # 2^s - 1
+        # top index: insert a 0 bit at position s
+        idx_top = ((j >> s) << (s + 1)) | (j & half_mask)
+        idx_bot = idx_top | (jnp.int32(1) << s)
+        # twiddle omega^{(j mod 2^s) * n/2^{s+1}}
+        tw_idx = (j & half_mask) << (jnp.int32(k) - 1 - s)
+        tw = jnp.take(twiddles, tw_idx, axis=1)
+        top = jnp.take(x, idx_top, axis=1)
+        bot = jnp.take(x, idx_bot, axis=1)
+        t = D.mont_mul(bot, tw, FR)
+        x = x.at[:, idx_top].set(D.add(top, t, FR))
+        x = x.at[:, idx_bot].set(D.sub(top, t, FR))
+        return x
+
+    return jax.lax.fori_loop(0, k, stage, a)
+
+
+def ntt(a: jnp.ndarray, omega: int, k: int) -> jnp.ndarray:
+    """Forward NTT of a (16, n) Montgomery-limb array: coeffs -> evals."""
+    return _ntt_core(a, twiddle_table(omega, k), k)
+
+
+def intt(a: jnp.ndarray, omega_inv: int, k: int, divisor_inv: int) -> jnp.ndarray:
+    """Inverse NTT: evals -> coeffs (scaled by 1/n, passed as divisor_inv)."""
+    out = _ntt_core(a, twiddle_table(omega_inv, k), k)
+    d = D.pack_scalar(divisor_inv, FR).reshape(NLIMB, 1)
+    return D.mont_mul(out, d, FR)
+
+
+# ----------------------------- host reference -------------------------------
+
+def ntt_host(values: list, omega: int, p: int) -> list:
+    """O(n^2)-free host radix-2 NTT (recursive), oracle for tests."""
+    n = len(values)
+    if n == 1:
+        return list(values)
+    even = ntt_host(values[0::2], omega * omega % p, p)
+    odd = ntt_host(values[1::2], omega * omega % p, p)
+    out = [0] * n
+    w = 1
+    for i in range(n // 2):
+        t = w * odd[i] % p
+        out[i] = (even[i] + t) % p
+        out[i + n // 2] = (even[i] - t) % p
+        w = w * omega % p
+    return out
+
+
+def intt_host(values: list, omega: int, p: int) -> list:
+    n = len(values)
+    ninv = pow(n, p - 2, p)
+    out = ntt_host(values, pow(omega, p - 2, p), p)
+    return [x * ninv % p for x in out]

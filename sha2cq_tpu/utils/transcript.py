@@ -1,0 +1,119 @@
+"""Fiat-Shamir transcript, byte-compatible with the reference's Blake2b
+transcript (halo2_proofs/src/transcript.rs).
+
+Format:
+  - state: Blake2b, 64-byte digest, personalization b"Halo2-Transcript"
+  - domain separation prefixes: 0 = challenge squeeze, 1 = point, 2 = scalar
+  - points are absorbed as uncompressed x||y canonical reprs (32B LE each) but
+    *written to the proof* compressed (32B); scalars absorbed/written as 32B LE
+  - squeeze: absorb [0], fork the state, finalize to 64 bytes, reduce mod r
+    (Challenge255 / from_bytes_wide semantics, transcript.rs:139-144, 297-309)
+
+The transcript is tiny and inherently sequential, so it is host-side by
+design; device code only ever receives the squeezed scalar challenges.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+from ..fields.host import FR_MOD
+from ..curves.host import G1Affine
+from . import serde
+
+_PREFIX_CHALLENGE = b"\x00"
+_PREFIX_POINT = b"\x01"
+_PREFIX_SCALAR = b"\x02"
+
+
+def _new_state() -> "hashlib.blake2b":
+    return hashlib.blake2b(digest_size=64, person=b"Halo2-Transcript")
+
+
+class Blake2bWrite:
+    """Prover-side transcript: absorbs and serializes prover messages."""
+
+    def __init__(self) -> None:
+        self._state = _new_state()
+        self._proof = bytearray()
+
+    # -- common (absorb-only) -------------------------------------------
+    def common_point(self, pt: G1Affine) -> None:
+        if pt is None:
+            raise ValueError("cannot write points at infinity to the transcript")
+        self._state.update(_PREFIX_POINT)
+        self._state.update(serde.fq_to_bytes(pt[0]))
+        self._state.update(serde.fq_to_bytes(pt[1]))
+
+    def common_scalar(self, s: int) -> None:
+        self._state.update(_PREFIX_SCALAR)
+        self._state.update(serde.fr_to_bytes(s))
+
+    # -- write (absorb + proof bytes) -----------------------------------
+    def write_point(self, pt: G1Affine) -> None:
+        self.common_point(pt)
+        self._proof += serde.g1_to_bytes(pt)
+
+    def write_scalar(self, s: int) -> None:
+        self.common_scalar(s)
+        self._proof += serde.fr_to_bytes(s)
+
+    def squeeze_challenge(self) -> int:
+        self._state.update(_PREFIX_CHALLENGE)
+        digest = self._state.copy().digest()
+        # Challenge255: wide reduction, then canonical round-trip
+        return serde.fr_from_bytes_wide(digest)
+
+    def finalize(self) -> bytes:
+        return bytes(self._proof)
+
+
+class Blake2bRead:
+    """Verifier-side transcript: reads prover messages from proof bytes."""
+
+    def __init__(self, proof: bytes) -> None:
+        self._state = _new_state()
+        self._proof = proof
+        self._pos = 0
+
+    def _take(self, n: int) -> bytes:
+        if self._pos + n > len(self._proof):
+            raise ValueError("proof too short")
+        out = self._proof[self._pos:self._pos + n]
+        self._pos += n
+        return out
+
+    def common_point(self, pt: G1Affine) -> None:
+        if pt is None:
+            raise ValueError("cannot write points at infinity to the transcript")
+        self._state.update(_PREFIX_POINT)
+        self._state.update(serde.fq_to_bytes(pt[0]))
+        self._state.update(serde.fq_to_bytes(pt[1]))
+
+    def common_scalar(self, s: int) -> None:
+        self._state.update(_PREFIX_SCALAR)
+        self._state.update(serde.fr_to_bytes(s))
+
+    def read_point(self) -> G1Affine:
+        pt = serde.g1_from_bytes(self._take(32))
+        self.common_point(pt)
+        return pt
+
+    def read_scalar(self) -> int:
+        s = serde.fr_from_bytes(self._take(32))
+        self.common_scalar(s)
+        return s
+
+    def read_n_points(self, n: int) -> List[G1Affine]:
+        return [self.read_point() for _ in range(n)]
+
+    def read_n_scalars(self, n: int) -> List[int]:
+        return [self.read_scalar() for _ in range(n)]
+
+    def squeeze_challenge(self) -> int:
+        self._state.update(_PREFIX_CHALLENGE)
+        digest = self._state.copy().digest()
+        return serde.fr_from_bytes_wide(digest)
+
+    def done(self) -> bool:
+        return self._pos == len(self._proof)

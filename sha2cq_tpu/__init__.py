@@ -1,0 +1,29 @@
+"""sha2cq_tpu: a TPU-native halo2-style proving stack (KZG on BN254, PLONK
+with CQ static lookups, SHA2-on-CQ circuits) built on JAX/XLA/Pallas.
+
+Capability map vs the reference (aleph-zero-foundation/sha2-on-cq-halo2):
+  fields/, curves/   <- arithmetic/curves (halo2curves)
+  ops/               <- halo2_proofs/src/arithmetic.rs hot kernels (NTT, MSM)
+  poly/              <- halo2_proofs/src/poly (domain, KZG, GWC/SHPLONK)
+  plonk/             <- halo2_proofs/src/plonk (IR, keygen, prover, verifier,
+                        permutation, lookup, static_lookup/CQ, vanishing)
+  circuit/, dev/     <- halo2_proofs/src/circuit + dev (layouter, MockProver)
+  models/            <- sha/, sha-reference (tables + circuits)
+  parallel/          <- multi-chip sharding (the rayon analogue, done with
+                        jax.sharding meshes + collectives)
+  utils/             <- transcript, serde, rng
+"""
+import os
+
+import jax
+
+# Persistent compilation cache: the limb-arithmetic kernels produce large HLO
+# whose compiles are expensive; cache them across processes.
+_cache_dir = os.environ.get("SHA2CQ_JAX_CACHE", os.path.expanduser("~/.cache/sha2cq_jax"))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # cache is an optimization only
+    pass

@@ -1,0 +1,191 @@
+"""MockProver: interpret a circuit into in-memory cell grids and check every
+constraint row by row (reference halo2_proofs/src/dev.rs:294-1363).
+
+Differences from the reference, by design:
+  - static (CQ) lookups ARE checked against the registered tables — the
+    reference silently ignores them (dev.rs:345-351, a known gap flagged in
+    SURVEY.md §1-L4); we have the table values available, so we check.
+  - failures are reported as structured strings rather than a typed enum
+    (dev/failure.rs); enough for tests to assert on.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..circuit import SimpleFloorPlanner, Value
+from ..fields.host import FR_MOD
+from ..plonk.circuit_ir import Column, ConstraintSystem, Expression, Selector, StaticTableId
+
+P = FR_MOD
+
+
+class _MockAssignment:
+    def __init__(self, n: int, cs: ConstraintSystem, instance: List[List[int]],
+                 usable_rows: int):
+        self.n = n
+        self.cs = cs
+        self.usable_rows = usable_rows
+        self.advice = [[0] * n for _ in range(cs.num_advice_columns)]
+        self.advice_assigned = [[False] * n for _ in range(cs.num_advice_columns)]
+        self.fixed = [[0] * n for _ in range(cs.num_fixed_columns)]
+        self.selectors = [[False] * n for _ in range(cs.num_selectors)]
+        self.instance = instance
+        self.copies: List[Tuple[Column, int, Column, int]] = []
+        self.static_tables: Dict[StaticTableId, object] = {}
+        self.current_region = None
+
+    # Assignment protocol
+    def enter_region(self, name):
+        self.current_region = name
+
+    def exit_region(self):
+        self.current_region = None
+
+    def assign_advice(self, column: Column, row: int, value: Value) -> None:
+        if row >= self.usable_rows:
+            raise ValueError(f"not enough rows available (row {row})")
+        self.advice[column.index][row] = value.assign()
+        self.advice_assigned[column.index][row] = True
+
+    def assign_fixed(self, column: Column, row: int, value: Value) -> None:
+        if row >= self.usable_rows:
+            raise ValueError(f"not enough rows available (row {row})")
+        self.fixed[column.index][row] = value.assign()
+
+    def enable_selector(self, selector: Selector, row: int) -> None:
+        if row >= self.usable_rows:
+            raise ValueError(f"not enough rows available (row {row})")
+        self.selectors[selector.index][row] = True
+
+    def query_instance(self, column: Column, row: int) -> Value:
+        return Value.known(self.instance[column.index][row])
+
+    def copy(self, col_a: Column, row_a: int, col_b: Column, row_b: int) -> None:
+        self.copies.append((col_a, row_a, col_b, row_b))
+
+    def register_static_table(self, table_id: StaticTableId, table) -> None:
+        self.static_tables[table_id] = table
+
+    def next_phase(self) -> None:
+        pass
+
+
+@dataclass
+class VerifyFailure:
+    kind: str        # "gate" | "lookup" | "static_lookup" | "permutation"
+    name: str
+    row: int
+    detail: str = ""
+
+    def __str__(self):
+        return f"{self.kind} '{self.name}' violated at row {self.row} {self.detail}"
+
+
+class MockProver:
+    def __init__(self, k: int, cs: ConstraintSystem, assignment: _MockAssignment):
+        self.k = k
+        self.n = 1 << k
+        self.cs = cs
+        self.a = assignment
+
+    @staticmethod
+    def run(k: int, circuit, instance: List[List[int]]) -> "MockProver":
+        cs = ConstraintSystem()
+        config = type(circuit).configure(cs)
+        n = 1 << k
+        if n < cs.minimum_rows():
+            raise ValueError(f"k = {k} is too small for this circuit")
+        usable_rows = n - (cs.blinding_factors() + 1)
+        inst = [list(col) + [0] * (n - len(col)) for col in instance]
+        assignment = _MockAssignment(n, cs, inst, usable_rows)
+        SimpleFloorPlanner.synthesize(assignment, circuit, config, cs.constants)
+        return MockProver(k, cs, assignment)
+
+    # ------------------------------------------------------------------
+    def _cell(self, kind: str, col_index: int, row: int) -> int:
+        row %= self.n
+        if kind == "advice":
+            return self.a.advice[col_index][row]
+        if kind == "fixed":
+            return self.a.fixed[col_index][row]
+        if kind == "instance":
+            return self.a.instance[col_index][row]
+        raise ValueError(kind)
+
+    def _eval(self, expr: Expression, row: int) -> int:
+        ops = {
+            "const": lambda v: v,
+            "selector": lambda e: 1 if self.a.selectors[e.value][row] else 0,
+            "fixed": lambda e: self._cell("fixed", e.column.index, row + e.rotation),
+            "advice": lambda e: self._cell("advice", e.column.index, row + e.rotation),
+            "instance": lambda e: self._cell("instance", e.column.index, row + e.rotation),
+            "challenge": lambda e: (_ for _ in ()).throw(
+                ValueError("challenges unsupported in MockProver")),
+            "neg": lambda a: (-a) % P,
+            "sum": lambda a, b: (a + b) % P,
+            "prod": lambda a, b: (a * b) % P,
+            "scaled": lambda a, v: (a * v) % P,
+        }
+        return expr.evaluate(ops)
+
+    def verify(self) -> List[VerifyFailure]:
+        failures: List[VerifyFailure] = []
+        usable = self.a.usable_rows
+
+        # gates: every poly must vanish on every usable row
+        for gate in self.cs.gates:
+            for poly_idx, poly in enumerate(gate.polys):
+                for row in range(usable):
+                    if self._eval(poly, row) != 0:
+                        failures.append(VerifyFailure(
+                            "gate", gate.name, row, f"(constraint {poly_idx})"))
+
+        # dynamic lookups: each input row (theta-compressed tuple) must appear
+        # in the table tuple set
+        for lk in self.cs.lookups:
+            table_rows = set()
+            for row in range(usable):
+                table_rows.add(tuple(self._eval(t, row) for t in lk.table_expressions))
+            for row in range(usable):
+                inp = tuple(self._eval(i, row) for i in lk.input_expressions)
+                if inp not in table_rows:
+                    failures.append(VerifyFailure("lookup", lk.name, row, f"{inp}"))
+
+        # static lookups (improvement over the reference MockProver)
+        for sl in self.cs.static_lookups:
+            tables = []
+            for tid in sl.table_ids:
+                t = self.a.static_tables.get(tid)
+                if t is None:
+                    failures.append(VerifyFailure(
+                        "static_lookup", sl.name, -1, f"table {tid.name} not registered"))
+                    tables = None
+                    break
+                tables.append(t)
+            if tables is None:
+                continue
+            values = [getattr(t.opened, "values", t.opened) if t.opened is not None else None
+                      for t in tables]
+            if any(v is None for v in values):
+                continue  # committed-only tables can't be checked in the mock
+            row_sets = set(zip(*values))
+            for row in range(usable):
+                tup = tuple(self._eval(e, row) for e in sl.input_expressions)
+                if tup not in row_sets:
+                    failures.append(VerifyFailure("static_lookup", sl.name, row, f"{tup}"))
+
+        # permutation: copy constraints must hold
+        for (ca, ra, cb, rb) in self.a.copies:
+            va = self._cell(ca.kind, ca.index, ra)
+            vb = self._cell(cb.kind, cb.index, rb)
+            if va != vb:
+                failures.append(VerifyFailure(
+                    "permutation", f"{ca}={cb}", ra, f"{va} != {vb} (row {rb})"))
+        return failures
+
+    def assert_satisfied(self) -> None:
+        failures = self.verify()
+        if failures:
+            raise AssertionError(
+                "circuit not satisfied:\n" + "\n".join(str(f) for f in failures))

@@ -223,32 +223,34 @@ def mont_mul(a, b, ctx: FieldCtx = FR):
     Schoolbook 16x16 limb products with lo/hi split and deferred-carry column
     accumulation, followed by digit-wise Montgomery reduction
     (operand-scanning REDC with base 2^16).  Column magnitudes stay < 2^23.
+
+    Structured as 16 row-slice accumulations (one per limb of `a`), not 256
+    scalar products, to keep the HLO trace small — the MSM/NTT scan networks
+    instantiate this body dozens of times.
     """
-    al, bl = _unstack(a), _unstack(b)
-    zero = jnp.zeros(jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), dtype=U32)
-    t = [zero] * (2 * NLIMB + 1)
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (NLIMB, *batch))
+    b = jnp.broadcast_to(b, (NLIMB, *batch))
+    t = jnp.zeros((2 * NLIMB + 1, *batch), dtype=U32)
     for i in range(NLIMB):
-        ai = al[i]
-        for j in range(NLIMB):
-            pij = ai * bl[j]
-            t[i + j] = t[i + j] + (pij & MASK)
-            t[i + j + 1] = t[i + j + 1] + (pij >> LIMB_BITS)
+        pij = a[i][None, ...] * b            # (16, batch) exact u32 products
+        t = t.at[i:i + NLIMB].add(pij & MASK)
+        t = t.at[i + 1:i + NLIMB + 1].add(pij >> LIMB_BITS)
     # REDC: 16 digit steps
     n0 = np.uint32(ctx.n0)
-    pl = [np.uint32(int(x)) for x in ctx.p_limbs]
+    pcol = jnp.asarray(ctx.p_limbs, dtype=U32).reshape((NLIMB,) + (1,) * len(batch))
     for i in range(NLIMB):
         m = (t[i] * n0) & MASK
-        for j in range(NLIMB):
-            mp = m * pl[j]
-            t[i + j] = t[i + j] + (mp & MASK)
-            t[i + j + 1] = t[i + j + 1] + (mp >> LIMB_BITS)
+        mp = m[None, ...] * pcol
+        t = t.at[i:i + NLIMB].add(mp & MASK)
+        t = t.at[i + 1:i + NLIMB + 1].add(mp >> LIMB_BITS)
         # t[i] is now 0 mod 2^16; push its carry up
-        t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
-    res_cols = t[NLIMB:2 * NLIMB + 1]
+        t = t.at[i + 1].add(t[i] >> LIMB_BITS)
+    res_cols = [t[NLIMB + i] for i in range(NLIMB + 1)]
     limbs, carry = _carry_canonicalize(res_cols, NLIMB + 1)
     # result < 2p fits in 16 limbs; limbs[16] must be zero
     limbs = limbs[:NLIMB]
-    plc = [jnp.full_like(zero, x) for x in pl]
+    plc = [jnp.full_like(limbs[0], x) for x in ctx.p_limbs]
     d, borrow = _sub_limbs(limbs, plc)
     need_sub = _geq(limbs, plc)
     return _stack([jnp.where(need_sub, x, y) for x, y in zip(d, limbs)])

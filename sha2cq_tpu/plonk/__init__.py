@@ -1,0 +1,16 @@
+"""PLONK protocol layer (reference halo2_proofs/src/plonk/)."""
+from .circuit_ir import (Challenge, Column, ConstraintSystem, Expression,
+                         Selector, StaticTableId, TableColumn)
+from .keygen import keygen_pk, keygen_vk
+from .keys import ProvingKey, VerifyingKey
+from .prover import create_proof
+from .static_tables import (StaticCommittedTable, StaticTable,
+                            StaticTableConfig, StaticTableValues)
+from .verifier import verify_proof
+
+__all__ = [
+    "Challenge", "Column", "ConstraintSystem", "Expression", "Selector",
+    "StaticTableId", "TableColumn", "keygen_pk", "keygen_vk", "ProvingKey",
+    "VerifyingKey", "create_proof", "StaticCommittedTable", "StaticTable",
+    "StaticTableConfig", "StaticTableValues", "verify_proof",
+]

@@ -1,0 +1,276 @@
+"""create_proof — the prover pipeline (reference plonk/prover.rs:51-779).
+
+Transcript-ordered phases:
+  1. vk hash; instance values absorbed as common scalars
+  2. witness synthesis per phase; blind rows; commit advice; phase challenges
+  3. theta; dynamic lookups commit_permuted; CQ lookups commit (f, m)
+  4. beta, gamma; permutation grand products; lookup products;
+     CQ log-derivatives (a, qa, a0, b0, p)
+  5. vanishing random commit; y; evaluate_h; h piece commits
+  6. x; advice/fixed evals; vanishing eval; permutation common + set evals;
+     lookup evals; CQ evals
+  7. GWC multiopen over the assembled query set
+
+The bulk math (NTTs for basis conversions, MSM commitments, the extended-
+domain h evaluation) dispatches to the TPU ops for large n; tiny circuits
+run fully on host.
+"""
+from __future__ import annotations
+
+import secrets
+from typing import List, Optional, Sequence
+
+from ..circuit import SimpleFloorPlanner, Value
+from ..fields.host import FR_MOD
+from ..poly import arith as A
+from ..poly.kzg.gwc import ProverQuery, gwc_create_proof
+from ..utils.transcript import Blake2bWrite
+from .circuit_ir import Column, ConstraintSystem, Selector, StaticTableId
+from .evaluation import evaluate_h
+from .keys import ProvingKey
+from .lookup_arg import (lookup_commit_permuted, lookup_commit_product,
+                         lookup_evaluate, lookup_open)
+from .permutation import (permutation_commit, permutation_evaluate,
+                          permutation_open, permutation_pk_evaluate,
+                          permutation_pk_open)
+from .static_lookup import (static_lookup_commit,
+                            static_lookup_commit_log_derivatives,
+                            static_lookup_evaluate, static_lookup_open)
+from .vanishing import (vanishing_commit, vanishing_construct,
+                        vanishing_evaluate, vanishing_open)
+
+P = FR_MOD
+
+
+class _SystemRng:
+    def randrange(self, n: int) -> int:
+        return secrets.randbelow(n)
+
+
+class _WitnessCollection:
+    """Assignment sink for witness generation (prover.rs:139-392)."""
+
+    def __init__(self, cs: ConstraintSystem, n: int, usable_rows: int,
+                 instances: Sequence[Sequence[int]], current_phase: int,
+                 challenges: dict):
+        self.cs = cs
+        self.n = n
+        self.usable_rows = usable_rows
+        self.instances = instances
+        self.current_phase = current_phase
+        self.challenges = challenges
+        self.advice = [[0] * n for _ in range(cs.num_advice_columns)]
+
+    def enter_region(self, name):
+        pass
+
+    def exit_region(self):
+        pass
+
+    def register_static_table(self, table_id: StaticTableId, table):
+        pass  # only keygen cares
+
+    def enable_selector(self, selector: Selector, row: int):
+        pass
+
+    def query_instance(self, column: Column, row: int) -> Value:
+        if row >= self.usable_rows:
+            raise ValueError("not enough rows available")
+        return Value.known(self.instances[column.index][row])
+
+    def assign_advice(self, column: Column, row: int, value: Value):
+        if column.phase != self.current_phase:
+            return
+        if row >= self.usable_rows:
+            raise ValueError("not enough rows available")
+        self.advice[column.index][row] = value.assign()
+
+    def assign_fixed(self, column: Column, row: int, value: Value):
+        pass
+
+    def copy(self, *args):
+        pass
+
+    def fill_from_row(self, *args):
+        pass
+
+    def get_challenge(self, challenge) -> Value:
+        v = self.challenges.get(challenge.index)
+        return Value.known(v) if v is not None else Value.unknown()
+
+    def next_phase(self):
+        pass
+
+
+def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
+                 rng=None, transcript: Optional[Blake2bWrite] = None) -> bytes:
+    """instances: per-circuit list of per-column instance value lists."""
+    rng = rng or _SystemRng()
+    transcript = transcript or Blake2bWrite()
+    cs = pk.vk.cs
+    domain = pk.vk.domain
+    n = params.n
+
+    assert len(circuits) == len(instances)
+    for inst in instances:
+        if len(inst) != cs.num_instance_columns:
+            raise ValueError("InvalidInstances")
+
+    pk.vk.hash_into(transcript)
+
+    # instance values -> lagrange + coeff polys
+    instance_singles = []
+    for inst in instances:
+        values = []
+        polys = []
+        for col in inst:
+            if len(col) > n - (cs.blinding_factors() + 1):
+                raise ValueError("InstanceTooLarge")
+            v = list(col) + [0] * (n - len(col))
+            values.append(v)
+            polys.append(domain.lagrange_to_coeff_host(v))
+        instance_singles.append({"values": values, "polys": polys})
+
+    # ---- witness generation (per phase) --------------------------------
+    assert len(circuits) == 1, "multi-circuit proving not supported with phases"
+    unusable_rows_start = n - (cs.blinding_factors() + 1)
+    phases = cs.phases()
+    challenges: dict = {}
+    advice_singles = []
+    for circuit, inst, inst_single in zip(circuits, instances, instance_singles):
+        config = type(circuit).configure(ConstraintSystem())
+        witness = _WitnessCollection(
+            cs, n, unusable_rows_start, inst_single["values"], phases[0], challenges)
+        advice_polys: List[List[int]] = [[0] * n for _ in range(cs.num_advice_columns)]
+        for phase_idx, phase in enumerate(phases):
+            witness.current_phase = phase
+            SimpleFloorPlanner.synthesize(witness, circuit, config, cs.constants)
+            # end of phase: absorb instances (phase 0), blind + commit advice
+            if phase_idx == 0:
+                for col in inst_single["values"]:
+                    for v in col:
+                        transcript.common_scalar(v)
+            for col_idx, col_phase in enumerate(cs.advice_column_phase):
+                if col_phase != phase:
+                    continue
+                col = list(witness.advice[col_idx])
+                for row in range(unusable_rows_start, n):
+                    col[row] = rng.randrange(P)
+                advice_polys[col_idx] = col
+                transcript.write_point(params.commit_lagrange(col))
+            for ch_idx, ch_phase in enumerate(cs.challenge_phase):
+                if ch_phase == phase:
+                    challenges[ch_idx] = transcript.squeeze_challenge()
+        advice_singles.append({"values": advice_polys})
+
+    challenges_list = [challenges[i] for i in range(cs.num_challenges)]
+
+    # ---- theta; lookups + CQ commit ------------------------------------
+    theta = transcript.squeeze_challenge()
+
+    lookups_permuted = []
+    for inst_single, adv in zip(instance_singles, advice_singles):
+        lookups_permuted.append([
+            lookup_commit_permuted(
+                arg, pk, params, theta, adv["values"], pk.fixed_values,
+                inst_single["values"], challenges_list, rng, transcript)
+            for arg in cs.lookups
+        ])
+
+    static_committed = []
+    for inst_single, adv in zip(instance_singles, advice_singles):
+        static_committed.append([
+            static_lookup_commit(
+                arg, pk, params, theta, challenges_list, adv["values"],
+                pk.fixed_values, inst_single["values"], transcript)
+            for arg in cs.static_lookups
+        ])
+
+    # ---- beta, gamma; permutations; products; CQ log derivatives --------
+    beta = transcript.squeeze_challenge()
+    gamma = transcript.squeeze_challenge()
+
+    permutations = []
+    for inst_single, adv in zip(instance_singles, advice_singles):
+        permutations.append(permutation_commit(
+            pk, params, adv["values"], pk.fixed_values, inst_single["values"],
+            beta, gamma, rng, transcript))
+
+    lookups_committed = [
+        [lookup_commit_product(pm, pk, params, beta, gamma, rng, transcript)
+         for pm in per_circuit]
+        for per_circuit in lookups_permuted
+    ]
+
+    static_log = [
+        [static_lookup_commit_log_derivatives(c, pk, params, domain, beta, theta, transcript)
+         for c in per_circuit]
+        for per_circuit in static_committed
+    ]
+
+    # ---- vanishing + y + h ----------------------------------------------
+    vanishing = vanishing_commit(params, domain, rng, transcript)
+    y = transcript.squeeze_challenge()
+
+    advice_coeff = [
+        {"polys": [domain.lagrange_to_coeff_host(v) for v in adv["values"]]}
+        for adv in advice_singles
+    ]
+    advice_cosets = [
+        [domain.coeff_to_extended_host(p) for p in adv["polys"]]
+        for adv in advice_coeff
+    ]
+    instance_cosets = [
+        [domain.coeff_to_extended_host(p) for p in inst["polys"]]
+        for inst in instance_singles
+    ]
+
+    h_values = evaluate_h(
+        pk, advice_cosets, instance_cosets, challenges_list, y, beta, gamma,
+        theta, lookups_committed, static_log, permutations)
+
+    vanishing = vanishing_construct(vanishing, params, domain, h_values, rng, transcript)
+
+    # ---- x; evals --------------------------------------------------------
+    x = transcript.squeeze_challenge()
+    xn = pow(x, n, P)
+
+    for adv in advice_coeff:
+        for column, rot in cs.advice_queries:
+            transcript.write_scalar(
+                A.eval_polynomial(adv["polys"][column.index], domain.rotate_omega(x, rot)))
+    for column, rot in cs.fixed_queries:
+        transcript.write_scalar(
+            A.eval_polynomial(pk.fixed_polys[column.index], domain.rotate_omega(x, rot)))
+
+    vanishing = vanishing_evaluate(vanishing, x, xn, domain, transcript)
+    permutation_pk_evaluate(pk, x, transcript)
+    for perm in permutations:
+        permutation_evaluate(perm, pk, x, transcript)
+    for per_circuit in lookups_committed:
+        for lk in per_circuit:
+            lookup_evaluate(lk, pk, x, transcript)
+    for per_circuit in static_log:
+        for sl in per_circuit:
+            static_lookup_evaluate(sl, x, transcript)
+
+    # ---- multiopen -------------------------------------------------------
+    queries: List[ProverQuery] = []
+    for adv, inst_single, perm, lks, sls in zip(
+            advice_coeff, instance_singles, permutations, lookups_committed, static_log):
+        for column, rot in cs.advice_queries:
+            queries.append(ProverQuery(
+                domain.rotate_omega(x, rot), adv["polys"][column.index]))
+        queries.extend(permutation_open(perm, pk, x))
+        for lk in lks:
+            queries.extend(lookup_open(lk, pk, x))
+        for sl in sls:
+            queries.extend(static_lookup_open(sl, x))
+    for column, rot in cs.fixed_queries:
+        queries.append(ProverQuery(
+            domain.rotate_omega(x, rot), pk.fixed_polys[column.index]))
+    queries.extend(permutation_pk_open(pk, x))
+    queries.extend(vanishing_open(vanishing, x))
+
+    gwc_create_proof(params, queries, transcript)
+    return transcript.finalize()

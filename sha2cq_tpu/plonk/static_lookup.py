@@ -1,0 +1,209 @@
+"""CQ static lookup argument prover + verifier.
+
+Reference: plonk/static_lookup/{prover,verifier}.rs.  Proof cost per lookup:
+7 G1 points (f, m, a, qa, a0, b0, p) + 3 scalars (b0(x), f(x), A(0)), plus
+three pairing identities registered into the global PairingBatcher:
+  (1) e(a,[T]_2) = e(qa,[Z_V]_2) * e(m - beta*a, [1]_2)
+  (2) e(b0,[x^bound]_2) = e(p,[1]_2)
+  (3) e(a - [A(0)]_1, [1]_2) = e(a0, [x]_2)
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+from ..curves import host as CH
+from ..fields.host import FR_MOD, batch_inv, inv_mod
+from ..ops import msm as M
+from ..poly import arith as A
+from ..poly.kzg.gwc import ProverQuery, VerifierQuery
+from .evaluation import evaluate_expr_lagrange
+
+P = FR_MOD
+
+
+def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
+                         instance, transcript) -> dict:
+    """prover.rs:51-183: evaluate+compress inputs into f, count sparse
+    multiplicities m, commit f (Lagrange MSM) and m (sparse over the table's
+    Lagrange basis)."""
+    tables = [pk.static_table_mapping[tid] for tid in arg.table_ids]
+    assert all(t.size == tables[0].size for t in tables), \
+        "Tables should all be of the same size"
+    table_config = pk.static_table_configs[tables[0].size]
+
+    n = params.n
+    evaluated = [
+        evaluate_expr_lagrange(e, n, fixed, advice, instance, challenges)
+        for e in arg.input_expressions
+    ]
+    f = [0] * n
+    for vals in evaluated:
+        f = [(a * theta + v) % P for a, v in zip(f, vals)]
+
+    bf = pk.vk.cs.blinding_factors()
+    usable_rows = n - (bf + 1)
+    m_sparse: Dict[int, int] = {}
+    table_index_value_mappings: List[Dict[int, int]] = [dict() for _ in tables]
+    for row in range(usable_rows):
+        idx = None
+        for t_i, (vals, table) in enumerate(zip(evaluated, tables)):
+            fi = vals[row]
+            index = table.value_index_mapping.get(fi)
+            if index is None:
+                raise ValueError(f"{fi} not in table {arg.table_ids[t_i].name}")
+            table_index_value_mappings[t_i][index] = fi
+            if idx is not None and idx != index:
+                raise ValueError("Vector lookup must be on the same table row")
+            idx = index
+        m_sparse[idx] = m_sparse.get(idx, 0) + 1
+
+    f_cm = params.commit_lagrange(f)
+    m_cm = None
+    for index in sorted(m_sparse):
+        m_cm = CH.g1_add(m_cm, CH.g1_mul(table_config.g1_lagrange[index], m_sparse[index]))
+    transcript.write_point(f_cm)
+    transcript.write_point(m_cm)
+    return {
+        "f": f,
+        "m_sparse": m_sparse,
+        "table_ids": arg.table_ids,
+        "table_index_value_mappings": table_index_value_mappings,
+    }
+
+
+def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
+                                         beta, theta, transcript) -> dict:
+    """prover.rs:187-343."""
+    tables = [pk.static_table_mapping[tid] for tid in committed["table_ids"]]
+    table_config = pk.static_table_configs[tables[0].size]
+
+    a_cm = None
+    qa_cm = None
+    a0_cm = None
+    for index in sorted(committed["m_sparse"]):
+        multiplicity = committed["m_sparse"][index]
+        # theta-compress table values and quotient commitments at this index
+        tv = 0
+        tq = None
+        for t_i, table in enumerate(tables):
+            tv = (tv * theta + committed["table_index_value_mappings"][t_i][index]) % P
+            tq = CH.g1_add(CH.g1_mul(tq, theta) if tq else None, table.qs[index])
+        a_i = multiplicity * inv_mod(tv + beta, P) % P
+        a_cm = CH.g1_add(a_cm, CH.g1_mul(table_config.g1_lagrange[index], a_i))
+        qa_cm = CH.g1_add(qa_cm, CH.g1_mul(tq, a_i))
+        a0_cm = CH.g1_add(a0_cm, CH.g1_mul(table_config.g_lagrange_opening_at_0[index], a_i))
+
+    bf = pk.vk.cs.blinding_factors()
+    n = params.n
+    usable_rows = n - (bf + 1)
+    beta_inv = inv_mod(beta, P)
+    bs = batch_inv([(fi + beta) % P for fi in committed["f"][:usable_rows]], P)
+    bs += [beta_inv] * (bf + 1)
+    b_poly = domain.lagrange_to_coeff_host(bs)
+
+    b0_coeffs = b_poly[1:]
+    p_cm = M.msm(b0_coeffs, pk.b0_g1_bound[: len(b0_coeffs)])
+    b0_poly = b0_coeffs + [0]
+
+    transcript.write_point(a_cm)
+    transcript.write_point(qa_cm)
+    transcript.write_point(a0_cm)
+    b0_cm = params.commit(b0_poly)
+    transcript.write_point(b0_cm)
+    transcript.write_point(p_cm)
+
+    # Sumcheck link: A(0) = (n * B(0) - (blinders+1) * beta^{-1}) / N
+    b_at_zero = b_poly[0]
+    n_table_inv = inv_mod(tables[0].size, P)
+    a_at_zero = ((b_at_zero * n - (bf + 1) * beta_inv) % P) * n_table_inv % P
+
+    f_poly = domain.lagrange_to_coeff_host(committed["f"])
+    return {"b": b_poly, "b0": b0_poly, "f": f_poly, "a_at_zero": a_at_zero}
+
+
+def static_lookup_evaluate(constructed: dict, x: int, transcript) -> dict:
+    b0_eval = A.eval_polynomial(constructed["b0"], x)
+    f_eval = A.eval_polynomial(constructed["f"], x)
+    transcript.write_scalar(b0_eval)
+    transcript.write_scalar(f_eval)
+    transcript.write_scalar(constructed["a_at_zero"])
+    return constructed
+
+
+def static_lookup_open(constructed: dict, x: int) -> List[ProverQuery]:
+    return [
+        ProverQuery(x, constructed["b0"]),
+        ProverQuery(x, constructed["f"]),
+    ]
+
+
+# ------------------------------- verifier -----------------------------------
+
+def static_lookup_read_committed(arg, transcript) -> dict:
+    return {
+        "f": transcript.read_point(),
+        "m": transcript.read_point(),
+        "table_ids": arg.table_ids,
+    }
+
+
+def static_lookup_read_log_derivative(committed: dict, transcript) -> dict:
+    return {
+        **committed,
+        "a": transcript.read_point(),
+        "qa": transcript.read_point(),
+        "a0": transcript.read_point(),
+        "b0": transcript.read_point(),
+        "p": transcript.read_point(),
+    }
+
+
+def static_lookup_verifier_evaluate(committed: dict, transcript) -> dict:
+    return {
+        **committed,
+        "b0_eval": transcript.read_scalar(),
+        "f_eval": transcript.read_scalar(),
+        "a_at_zero": transcript.read_scalar(),
+    }
+
+
+def static_lookup_register_pairings(ev: dict, vk, params, batcher, beta, theta) -> None:
+    """verifier.rs:117-180: the three pairing identities, one add_pairing."""
+    tables = [vk.static_table_mapping[tid] for tid in ev["table_ids"]]
+    # m - beta * a
+    m_minus_beta_a = CH.g1_add(ev["m"], CH.g1_neg(CH.g1_mul(ev["a"], beta)))
+    a_at_zero_cm = CH.g1_mul(CH.G1_GEN, ev["a_at_zero"])
+    table_t = None
+    for table in tables:
+        table_t = CH.g2_add(CH.g2_mul(table_t, theta) if table_t else None, table.t)
+    batcher.add_pairing([
+        (ev["a"], table_t),
+        (CH.g1_neg(ev["qa"]), tables[0].zv),
+        (CH.g1_neg(m_minus_beta_a), params.g2),
+        (ev["b0"], tables[0].x_b0_bound),
+        (CH.g1_neg(ev["p"]), params.g2),
+        (CH.g1_add(ev["a"], CH.g1_neg(a_at_zero_cm)), params.g2),
+        (CH.g1_neg(ev["a0"]), params.s_g2),
+    ])
+
+
+def static_lookup_expressions(ev: dict, vk, l_last, l_blind, beta, x) -> List[int]:
+    """verifier.rs:182-221: contribute B(x)(l_active f(x) + beta) - 1."""
+    active_rows = (1 - (l_last + l_blind)) % P
+    tables = [vk.static_table_mapping[tid] for tid in ev["table_ids"]]
+    # NOTE: reference uses the SRS g1 length stored in committed table `size`;
+    # the actual table row count equals the g1 length of its SRS.
+    table_size = tables[0].size
+    bf = vk.cs.blinding_factors()
+    beta_inv = inv_mod(beta, P)
+    n_inv = inv_mod(vk.domain.n, P)
+    b_at_zero = ((table_size * ev["a_at_zero"] + (bf + 1) * beta_inv) % P) * n_inv % P
+    b_eval = (ev["b0_eval"] * x + b_at_zero) % P
+    return [(b_eval * ((active_rows * ev["f_eval"] + beta) % P) - 1) % P]
+
+
+def static_lookup_queries(ev: dict, x: int) -> List[VerifierQuery]:
+    return [
+        VerifierQuery(x, ev["b0"], ev["b0_eval"]),
+        VerifierQuery(x, ev["f"], ev["f_eval"]),
+    ]

@@ -1,0 +1,159 @@
+"""CQ static-table preprocessing (reference plonk/static_lookup.rs:31-157).
+
+StaticTableValues holds the prover half: value->index map plus the cached
+quotient commitments  qs[i] = [ (T(X) - T(w^i)) / (X - w^i) * w^i/N ]_1.
+StaticCommittedTable holds the verifier half: [Z_V]_2, [T]_2 and the
+B0-degree-bound point.
+
+The reference computes qs with an O(N^2) per-root kate_division loop and
+flags "THIS SHOULD BE DONE WITH FK METHOD" (static_lookup.rs:107).  We
+implement both: the naive loop (oracle, small N) and the Feist-Khovratovich
+all-openings algorithm (O(N log N) group ops via two size-2N group NTTs),
+which is what makes 2^20+ tables preprocessable.
+
+Note: the reference's `commit` derives the G2 table commitment from
+`value_index_mapping.keys()` — i.e. the *sorted* values — which only matches
+the prover's polynomial when the table happens to be sorted (true for all its
+tests).  We commit the original-order polynomial, which is correct for any
+table.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+from ..curves import host as CH
+from ..fields import host as H
+from ..ops import msm as M
+from ..ops import ntt as NTT
+from ..poly import arith as A
+
+P = H.FR_MOD
+
+
+@dataclass
+class StaticCommittedTable:
+    zv: CH.G2Affine          # [x^N - 1]_2
+    t: CH.G2Affine           # [T(x)]_2
+    x_b0_bound: CH.G2Affine  # [x^{srs_len-1-(n-2)}]_2
+    size: int                # srs g1 length
+
+
+@dataclass
+class StaticTableConfig:
+    size: int
+    g1_lagrange: List[CH.G1Affine]
+    g_lagrange_opening_at_0: List[CH.G1Affine]
+
+
+class StaticTableValues:
+    """Prover-side preprocessed table."""
+
+    def __init__(self, values: List[int], srs_g1: List[CH.G1Affine], use_fk: bool = True):
+        size = len(values)
+        assert size & (size - 1) == 0, "table size must be a power of two"
+        self.size = size
+        self.values = [v % P for v in values]
+        self.value_index_mapping: Dict[int, int] = {v: i for i, v in enumerate(self.values)}
+        assert len(self.value_index_mapping) == size, "table values must be unique"
+
+        k = size.bit_length() - 1
+        omega = _omega_for_k(k)
+        n_inv = pow(size, P - 2, P)
+        table_coeffs = NTT.intt_host(self.values, omega, P)
+
+        if use_fk and size >= 4:
+            raw = fk_all_quotient_commitments(table_coeffs, srs_g1, omega)
+            # scale qs[i] by w^i / N  (reference static_lookup.rs:108-119)
+            self.qs = []
+            wi = 1
+            for q in raw:
+                self.qs.append(CH.g1_mul(q, wi * n_inv % P))
+                wi = wi * omega % P
+        else:
+            self.qs = []
+            wi = 1
+            for i in range(size):
+                quotient = A.kate_division(table_coeffs, wi)
+                scaled = [c * wi % P * n_inv % P for c in quotient]
+                self.qs.append(M.msm(scaled, srs_g1[: len(scaled)]))
+                wi = wi * omega % P
+
+    def commit(self, srs_g1_len: int, srs_g2: List[CH.G2Affine], circuit_domain: int) -> StaticCommittedTable:
+        k = self.size.bit_length() - 1
+        omega = _omega_for_k(k)
+        zv = CH.g2_add(srs_g2[self.size], CH.g2_neg(srs_g2[0]))
+        table_coeffs = NTT.intt_host(self.values, omega, P)
+        t = None
+        for c, g in zip(table_coeffs, srs_g2):
+            t = CH.g2_add(t, CH.g2_mul(g, c))
+        b0_bound_index = srs_g1_len - 1 - (circuit_domain - 2)
+        return StaticCommittedTable(
+            zv=zv, t=t, x_b0_bound=srs_g2[b0_bound_index], size=srs_g1_len)
+
+
+@dataclass
+class StaticTable:
+    opened: Optional[StaticTableValues]
+    committed: Optional[StaticCommittedTable]
+
+
+def _omega_for_k(k: int) -> int:
+    w = H.FR_ROOT_OF_UNITY
+    for _ in range(k, H.FR_S):
+        w = w * w % P
+    return w
+
+
+def _group_ntt(points: List[CH.G1Affine], omega: int, invert: bool = False) -> List[CH.G1Affine]:
+    """Radix-2 NTT over G1 points (host).  Same butterfly structure as the
+    scalar NTT but with point adds and scalar mults for twiddles."""
+    n = len(points)
+    if n == 1:
+        return list(points)
+    w2 = omega * omega % P
+    even = _group_ntt(points[0::2], w2, invert)
+    odd = _group_ntt(points[1::2], w2, invert)
+    out: List[CH.G1Affine] = [None] * n
+    w = 1
+    for i in range(n // 2):
+        t = CH.g1_mul(odd[i], w)
+        out[i] = CH.g1_add(even[i], t)
+        out[i + n // 2] = CH.g1_add(even[i], CH.g1_neg(t))
+        w = w * omega % P
+    return out
+
+
+def fk_all_quotient_commitments(table_coeffs: List[int], srs_g1: List[CH.G1Affine],
+                                omega: int) -> List[CH.G1Affine]:
+    """Feist-Khovratovich all-openings in O(N log N) group ops.
+
+    q_i = [ (T(X) - T(w^i)) / (X - w^i) ]_1 = sum_{j=0}^{N-1} h_j * w^{ij}
+    where h_j = sum_{m=j+1}^{N-1} t_m [x^{m-1-j}]_1.
+
+    h is a correlation of the coefficient vector with the SRS powers; it is
+    computed as a size-2N cyclic convolution using group NTTs, then the N
+    outputs q_i are one more size-N group NTT of h.
+    """
+    n = len(table_coeffs)
+    m2 = 2 * n
+    omega2 = _omega_for_k(m2.bit_length() - 1)
+
+    # Correlation h_j = sum_m t_m A_{m-1-j}  (A_k = [x^k]_1 for 0<=k<=N-2)
+    # Reverse the point vector: define B_i = A_{-i mod 2N} so that
+    # h_j = sum_m t_m B_{(1 + j - m) mod 2N} = cyclicconv(t, B)_{(1+j) mod 2N}
+    B: List[CH.G1Affine] = [None] * m2
+    for kk in range(0, n - 1):
+        B[(-kk) % m2] = srs_g1[kk]
+
+    t_pad = list(table_coeffs) + [0] * (m2 - n)
+    t_hat = NTT.ntt_host(t_pad, omega2, P)
+    B_hat = _group_ntt(B, omega2)
+    prod = [CH.g1_mul(b, s) for b, s in zip(B_hat, t_hat)]
+    m2_inv = pow(m2, P - 2, P)
+    conv = _group_ntt(prod, pow(omega2, P - 2, P))
+    conv = [CH.g1_mul(pt, m2_inv) for pt in conv]
+    h = [conv[(1 + j) % m2] for j in range(n)]
+
+    # q = NTT_N(h)
+    return _group_ntt(h, omega)

@@ -1,0 +1,116 @@
+"""GWC (Gabizon-Williamson-Ciobotaru) multipoint opening argument.
+
+Mirrors reference poly/kzg/multiopen/gwc/{prover,verifier}.rs and the
+query-grouping in gwc.rs:36-61: queries are grouped by opening point in
+first-appearance order; per point the prover commits one quotient
+W = [(sum_i v^i p_i(X) - sum_i v^i e_i) / (X - z)]_1 and the verifier folds
+everything into the DualMSM with challenges v (within a point) and u (across
+points).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Union
+
+from ...curves import host as CH
+from ...fields.host import FR_MOD
+from ...utils.transcript import Blake2bRead, Blake2bWrite
+from .. import arith as A
+from .msm_accum import DualMSM, MSMKZG
+
+P = FR_MOD
+
+
+@dataclass
+class ProverQuery:
+    point: int
+    poly: Sequence[int]       # coefficient form
+    # blind carried for API parity; KZG commitments here are unblinded
+    # (reference uses Blind::default() for GWC, gwc/prover.rs:84)
+
+
+@dataclass
+class VerifierQuery:
+    point: int
+    commitment: Union[CH.G1Affine, MSMKZG]  # plain commitment or lazy MSM
+    eval: int
+
+
+def _group_by_point(queries):
+    groups: List[tuple] = []  # (point, [queries])
+    for q in queries:
+        for g in groups:
+            if g[0] == q.point:
+                g[1].append(q)
+                break
+        else:
+            groups.append((q.point, [q]))
+    return groups
+
+
+def gwc_create_proof(params, queries: Sequence[ProverQuery], transcript: Blake2bWrite) -> None:
+    v = transcript.squeeze_challenge()
+    for z, qs in _group_by_point(queries):
+        poly_batch: List[int] = []
+        eval_batch = 0
+        power = 1
+        for q in qs:
+            poly_batch = A.poly_add(poly_batch, A.poly_scale(q.poly, power))
+            eval_batch = (eval_batch + A.eval_polynomial(q.poly, z) * power) % P
+            power = power * v % P
+        poly_batch = list(poly_batch)
+        poly_batch[0] = (poly_batch[0] - eval_batch) % P
+        witness = A.kate_division(poly_batch, z)
+        w = params.commit(witness)
+        if w is None:
+            # the zero polynomial still must produce a transcript point;
+            # commit to it as [0]G1 is identity which can't be written --
+            # the reference would write identity too (can't); avoid by
+            # committing to the zero quotient of a blinded poly. In practice
+            # this cannot occur for honest non-trivial openings.
+            raise ValueError("identity opening witness")
+        transcript.write_point(w)
+
+
+def gwc_verify_proof(
+    params,
+    queries: Sequence[VerifierQuery],
+    transcript: Blake2bRead,
+    msm_accumulator: DualMSM,
+) -> DualMSM:
+    v = transcript.squeeze_challenge()
+    groups = _group_by_point(queries)
+    w = [transcript.read_point() for _ in groups]
+    u = transcript.squeeze_challenge()
+
+    commitment_multi = MSMKZG()
+    eval_multi = 0
+    witness = MSMKZG()
+    witness_with_aux = MSMKZG()
+
+    power_of_u = 1
+    for (z, qs), wi in zip(groups, w):
+        commitment_batch = MSMKZG()
+        eval_batch = 0
+        power_of_v = 1
+        for q in qs:
+            if isinstance(q.commitment, MSMKZG):
+                m = q.commitment.clone()
+                m.scale(power_of_v)
+                commitment_batch.add_msm(m)
+            else:
+                commitment_batch.append_term(power_of_v, q.commitment)
+            eval_batch = (eval_batch + power_of_v * q.eval) % P
+            power_of_v = power_of_v * v % P
+        commitment_batch.scale(power_of_u)
+        commitment_multi.add_msm(commitment_batch)
+        eval_multi = (eval_multi + power_of_u * eval_batch) % P
+        witness_with_aux.append_term(power_of_u * z % P, wi)
+        witness.append_term(power_of_u, wi)
+        power_of_u = power_of_u * u % P
+
+    msm_accumulator.left.add_msm(witness)
+    msm_accumulator.right.add_msm(witness_with_aux)
+    msm_accumulator.right.add_msm(commitment_multi)
+    msm_accumulator.right.append_term((-eval_multi) % P, params.g[0])
+    return msm_accumulator

@@ -50,6 +50,123 @@ G2Affine = Optional[Tuple[Tuple[int, int], Tuple[int, int]]]
 
 
 # ------------------------------- G1 ----------------------------------------
+# Hot host paths (SRS generation, FK preprocessing, small MSMs) run in
+# Jacobian coordinates — a field inversion costs ~50 multiplies, so affine
+# chains would be inversion-bound.  Jacobian point = (X, Y, Z) ints, Z=0 is
+# the identity.
+
+JAC_IDENTITY = (1, 1, 0)
+
+
+def jac_from_affine(pt: G1Affine):
+    return JAC_IDENTITY if pt is None else (pt[0], pt[1], 1)
+
+
+def jac_double(p):
+    X1, Y1, Z1 = p
+    if Z1 == 0 or Y1 == 0:
+        return JAC_IDENTITY if Z1 == 0 else JAC_IDENTITY
+    A = X1 * X1 % P
+    B = Y1 * Y1 % P
+    C = B * B % P
+    D = 2 * ((X1 + B) * (X1 + B) - A - C) % P
+    E = 3 * A % P
+    F = E * E % P
+    X3 = (F - 2 * D) % P
+    Y3 = (E * (D - X3) - 8 * C) % P
+    Z3 = 2 * Y1 * Z1 % P
+    return (X3, Y3, Z3)
+
+
+def jac_add(p, q):
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    if Z1 == 0:
+        return q
+    if Z2 == 0:
+        return p
+    Z1Z1 = Z1 * Z1 % P
+    Z2Z2 = Z2 * Z2 % P
+    U1 = X1 * Z2Z2 % P
+    U2 = X2 * Z1Z1 % P
+    S1 = Y1 * Z2 * Z2Z2 % P
+    S2 = Y2 * Z1 * Z1Z1 % P
+    if U1 == U2:
+        if (S1 + S2) % P == 0:
+            return JAC_IDENTITY
+        return jac_double(p)
+    H = (U2 - U1) % P
+    HH = H * H % P
+    HHH = H * HH % P
+    V = U1 * HH % P
+    r = (S2 - S1) % P
+    X3 = (r * r - HHH - 2 * V) % P
+    Y3 = (r * (V - X3) - S1 * HHH) % P
+    Z3 = Z1 * Z2 % P * H % P
+    return (X3, Y3, Z3)
+
+
+def jac_add_affine(p, a: G1Affine):
+    """Mixed addition p (Jacobian) + a (affine)."""
+    if a is None:
+        return p
+    X1, Y1, Z1 = p
+    if Z1 == 0:
+        return (a[0], a[1], 1)
+    X2, Y2 = a
+    Z1Z1 = Z1 * Z1 % P
+    U2 = X2 * Z1Z1 % P
+    S2 = Y2 * Z1 * Z1Z1 % P
+    if U2 == X1:
+        if (Y1 + S2) % P == 0:
+            return JAC_IDENTITY
+        return jac_double(p)
+    H = (U2 - X1) % P
+    HH = H * H % P
+    HHH = H * HH % P
+    V = X1 * HH % P
+    r = (S2 - Y1) % P
+    X3 = (r * r - HHH - 2 * V) % P
+    Y3 = (r * (V - X3) - Y1 * HHH) % P
+    Z3 = Z1 * H % P
+    return (X3, Y3, Z3)
+
+
+def jac_mul(p, k: int):
+    k %= FR_MOD
+    result = JAC_IDENTITY
+    add = p
+    while k:
+        if k & 1:
+            result = jac_add(result, add)
+        add = jac_double(add)
+        k >>= 1
+    return result
+
+
+def jac_to_affine(p) -> G1Affine:
+    X, Y, Z = p
+    if Z == 0:
+        return None
+    zi = inv_mod(Z, P)
+    zi2 = zi * zi % P
+    return (X * zi2 % P, Y * zi2 % P * zi % P)
+
+
+def jac_batch_to_affine(points) -> list:
+    """Normalize many Jacobian points with one shared inversion chain."""
+    from ..fields.host import batch_inv
+    zs = [p[2] for p in points]
+    zinvs = batch_inv(zs, P)
+    out = []
+    for (X, Y, Z), zi in zip(points, zinvs):
+        if Z == 0:
+            out.append(None)
+        else:
+            zi2 = zi * zi % P
+            out.append((X * zi2 % P, Y * zi2 % P * zi % P))
+    return out
+
 
 def g1_is_on_curve(pt: G1Affine) -> bool:
     if pt is None:
@@ -88,23 +205,15 @@ def g1_double(a: G1Affine) -> G1Affine:
 
 
 def g1_mul(pt: G1Affine, k: int) -> G1Affine:
-    k %= FR_MOD
-    result: G1Affine = None
-    add = pt
-    while k:
-        if k & 1:
-            result = g1_add(result, add)
-        add = g1_add(add, add)
-        k >>= 1
-    return result
+    return jac_to_affine(jac_mul(jac_from_affine(pt), k))
 
 
 def g1_msm(scalars: Sequence[int], points: Sequence[G1Affine]) -> G1Affine:
     """Naive host MSM — oracle for the TPU Pippenger in ops/msm.py."""
-    acc: G1Affine = None
+    acc = JAC_IDENTITY
     for s, pt in zip(scalars, points):
-        acc = g1_add(acc, g1_mul(pt, s))
-    return acc
+        acc = jac_add(acc, jac_mul(jac_from_affine(pt), s))
+    return jac_to_affine(acc)
 
 
 # ------------------------------- G2 ----------------------------------------
@@ -142,16 +251,75 @@ def g2_add(a: G2Affine, b: G2Affine) -> G2Affine:
     return (x3, y3)
 
 
+_G2_JAC_IDENTITY = (FQ2_ONE, FQ2_ONE, FQ2_ZERO)
+
+
+def _g2_jac_double(p):
+    X1, Y1, Z1 = p
+    if Z1 == FQ2_ZERO:
+        return _G2_JAC_IDENTITY
+    A = fq2_sq(X1)
+    B = fq2_sq(Y1)
+    C = fq2_sq(B)
+    t = fq2_sq(fq2_add(X1, B))
+    D = fq2_scalar(fq2_sub(fq2_sub(t, A), C), 2)
+    E = fq2_scalar(A, 3)
+    F = fq2_sq(E)
+    X3 = fq2_sub(F, fq2_scalar(D, 2))
+    Y3 = fq2_sub(fq2_mul(E, fq2_sub(D, X3)), fq2_scalar(C, 8))
+    Z3 = fq2_scalar(fq2_mul(Y1, Z1), 2)
+    return (X3, Y3, Z3)
+
+
+def _g2_jac_add(p, q):
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    if Z1 == FQ2_ZERO:
+        return q
+    if Z2 == FQ2_ZERO:
+        return p
+    Z1Z1 = fq2_sq(Z1)
+    Z2Z2 = fq2_sq(Z2)
+    U1 = fq2_mul(X1, Z2Z2)
+    U2 = fq2_mul(X2, Z1Z1)
+    S1 = fq2_mul(Y1, fq2_mul(Z2, Z2Z2))
+    S2 = fq2_mul(Y2, fq2_mul(Z1, Z1Z1))
+    if U1 == U2:
+        if fq2_add(S1, S2) == FQ2_ZERO:
+            return _G2_JAC_IDENTITY
+        return _g2_jac_double(p)
+    H = fq2_sub(U2, U1)
+    HH = fq2_sq(H)
+    HHH = fq2_mul(H, HH)
+    V = fq2_mul(U1, HH)
+    r = fq2_sub(S2, S1)
+    X3 = fq2_sub(fq2_sub(fq2_sq(r), HHH), fq2_scalar(V, 2))
+    Y3 = fq2_sub(fq2_mul(r, fq2_sub(V, X3)), fq2_mul(S1, HHH))
+    Z3 = fq2_mul(fq2_mul(Z1, Z2), H)
+    return (X3, Y3, Z3)
+
+
+def _g2_jac_to_affine(p) -> G2Affine:
+    X, Y, Z = p
+    if Z == FQ2_ZERO:
+        return None
+    zi = fq2_inv(Z)
+    zi2 = fq2_sq(zi)
+    return (fq2_mul(X, zi2), fq2_mul(Y, fq2_mul(zi2, zi)))
+
+
 def g2_mul(pt: G2Affine, k: int) -> G2Affine:
+    if pt is None:
+        return None
     k %= FR_MOD
-    result: G2Affine = None
-    add = pt
+    result = _G2_JAC_IDENTITY
+    add = (pt[0], pt[1], FQ2_ONE)
     while k:
         if k & 1:
-            result = g2_add(result, add)
-        add = g2_add(add, add)
+            result = _g2_jac_add(result, add)
+        add = _g2_jac_double(add)
         k >>= 1
-    return result
+    return _g2_jac_to_affine(result)
 
 
 # ----------------------------- pairing --------------------------------------

@@ -39,6 +39,7 @@ class Limbs:
 SHORT_LIMBS = Limbs(6, 5)     # 16-bit words
 LONG_LIMBS = Limbs(12, 10)    # 32-bit words
 TEST_LIMBS = Limbs(4, 2)      # 8-bit words (reference test scheme)
+MINI_LIMBS = Limbs(2, 1)      # 4-bit words (fast e2e circuit tests)
 
 
 def _xyz_grid(l: Limbs):
@@ -86,6 +87,43 @@ def create_maj_table(l: Limbs):
 
 def create_ch_table(l: Limbs):
     x, y, z = _xyz_grid(l)
+    return _to_table(x, y, z, (x & y) ^ (~x & z))
+
+
+def create_ssig_table(l: Limbs, r1: int, r2: int, shr: int):
+    """Message-schedule sigma table: ROTR r1 ^ ROTR r2 ^ SHR shr of the
+    recombined word.  Beyond reference parity: the reference has no schedule
+    tables (its SHA circuit was never finished)."""
+    x, y, z = _xyz_grid(l)
+    w = _combine(l, x, y, z)
+    f = _rotr(l, w, r1) ^ _rotr(l, w, r2) ^ (w >> np.uint64(shr % l.word_len))
+    return _to_table(x, y, z, f)
+
+
+def create_ssig0_table(l: Limbs):
+    return create_ssig_table(l, 7, 18, 3)
+
+
+def create_ssig1_table(l: Limbs):
+    return create_ssig_table(l, 17, 19, 10)
+
+
+def _sym_grid(bits: int):
+    xs = np.arange(1 << bits, dtype=np.uint64)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    return X.ravel(), Y.ravel(), Z.ravel()
+
+
+def create_limb_maj_table(bits: int):
+    """Per-limb-position majority: all triples of `bits`-wide values.
+    (The reference's maj table mixes limb widths 6/5/5 in one row, which
+    cannot express same-position limb maj; these symmetric tables can.)"""
+    x, y, z = _sym_grid(bits)
+    return _to_table(x, y, z, (x & y) ^ (x & z) ^ (y & z))
+
+
+def create_limb_ch_table(bits: int):
+    x, y, z = _sym_grid(bits)
     return _to_table(x, y, z, (x & y) ^ (~x & z))
 
 

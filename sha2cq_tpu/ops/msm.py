@@ -33,19 +33,31 @@ from ..fields import device as D
 from ..fields import host as H
 from ..fields.device import FQ, NLIMB, U32
 
-C_BITS = 16                 # window size = one 16-bit scalar limb
-N_WINDOWS = 16              # 256 / 16
-HOST_THRESHOLD = 64         # below this, the host MSM is faster than compile
+# Below this size the host (Jacobian int) Pippenger beats device dispatch;
+# the device path exists for TPU-scale MSMs (2^14+), where the VPU wins.
+HOST_THRESHOLD = 1 << 12
 
 
-def _scalars_to_digits(scalars: Sequence[int]) -> np.ndarray:
-    """(16, n) uint32: digit w of scalar i = limb w (base 2^16)."""
+def pick_window_bits(n: int) -> int:
+    """Window size balancing the O(n log n) segmented scan against the
+    O(2^c) bucket scans per window (both are unified-add lanes)."""
+    c = max(4, min(16, (n.bit_length() - 1)))
+    # keep bucket work (2*2^c) under ~2x scan work (n log n)
+    while c > 4 and (1 << c) > n * max(1, n.bit_length()):
+        c -= 1
+    return c
+
+
+def _scalars_to_digits(scalars: Sequence[int], c: int) -> np.ndarray:
+    """(ceil(256/c), n) uint32 c-bit windows of each scalar."""
     n = len(scalars)
-    out = np.zeros((N_WINDOWS, n), dtype=np.uint32)
+    nw = (256 + c - 1) // c
+    out = np.zeros((nw, n), dtype=np.uint32)
+    mask = (1 << c) - 1
     for i, s in enumerate(scalars):
         s %= H.FR_MOD
-        for w in range(N_WINDOWS):
-            out[w, i] = (s >> (16 * w)) & 0xFFFF
+        for w in range(nw):
+            out[w, i] = (s >> (c * w)) & mask
     return out
 
 
@@ -53,10 +65,10 @@ def _ceil_log2(n: int) -> int:
     return max(1, (n - 1).bit_length())
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _window_sums(points, digits, n: int):
-    """points: (X, Y, Z) each (16, n); digits: (16, n) uint32.
-    Returns (16_windows, 3, 16, 1) window sums."""
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _window_sums(points, digits, n: int, c: int = 16):
+    """points: (X, Y, Z) each (16, n); digits: (nw, n) uint32 c-bit windows.
+    Returns (nw, 3, 16) window sums."""
     X, Y, Z = points
     log_n = _ceil_log2(n)
 
@@ -92,16 +104,16 @@ def _window_sums(points, digits, n: int):
         # are all-equal writes
         tgt = jnp.where(is_tail, ds.astype(jnp.int32), jnp.int32(0))
         zero = jnp.zeros_like(acc[0])
-        bX = D.zeros((1 << C_BITS,), FQ).at[:, tgt].set(jnp.where(is_tail[None, :], acc[0], zero))
-        bY = D.zeros((1 << C_BITS,), FQ).at[:, tgt].set(jnp.where(is_tail[None, :], acc[1], zero))
-        bZ = D.zeros((1 << C_BITS,), FQ).at[:, tgt].set(jnp.where(is_tail[None, :], acc[2], zero))
+        bX = D.zeros((1 << c,), FQ).at[:, tgt].set(jnp.where(is_tail[None, :], acc[0], zero))
+        bY = D.zeros((1 << c,), FQ).at[:, tgt].set(jnp.where(is_tail[None, :], acc[1], zero))
+        bZ = D.zeros((1 << c,), FQ).at[:, tgt].set(jnp.where(is_tail[None, :], acc[2], zero))
         # bucket 0 is skipped entirely
-        ident = PD.identity_like((1 << C_BITS,))
-        bucket0 = jnp.arange(1 << C_BITS) == 0
+        ident = PD.identity_like((1 << c,))
+        bucket0 = jnp.arange(1 << c) == 0
         B = PD.select_point(bucket0 | D.is_zero(bZ), ident, (bX, bY, bZ))
 
         # suffix sums R_j = sum_{b >= j} B_b (reverse Hillis-Steele scan)
-        m = 1 << C_BITS
+        m = 1 << c
         bidx = jnp.arange(m, dtype=jnp.int32)
 
         def sstep(t, acc):
@@ -111,7 +123,7 @@ def _window_sums(points, digits, n: int):
             use = bidx < (m - offset)
             return PD.select_point(use, combined, acc)
 
-        R = jax.lax.fori_loop(0, C_BITS, sstep, B)
+        R = jax.lax.fori_loop(0, c, sstep, B)
         # window sum = sum_{j>=1} R_j ; zero out R_0 then total-sum by shifts
         R = PD.select_point(bidx == 0, PD.identity_like((m,)), R)
 
@@ -122,24 +134,27 @@ def _window_sums(points, digits, n: int):
             use = bidx < (m - offset)
             return PD.select_point(use, combined, acc)
 
-        T = jax.lax.fori_loop(0, C_BITS, tstep, R)
+        T = jax.lax.fori_loop(0, c, tstep, R)
         return jnp.stack([T[0][:, 0], T[1][:, 0], T[2][:, 0]])  # (3, 16)
 
     return jax.lax.map(one_window, digits)
 
 
-def msm_device(scalars: Sequence[int], points, digits: Optional[np.ndarray] = None):
+def msm_device(scalars: Sequence[int], points, digits: Optional[np.ndarray] = None,
+               c: Optional[int] = None):
     """Pippenger MSM on device; points = host affine list or device PointArray."""
     n = len(scalars) if digits is None else digits.shape[1]
+    c = c or pick_window_bits(n)
     if digits is None:
-        digits = _scalars_to_digits(scalars)
+        digits = _scalars_to_digits(scalars, c)
+    nw = digits.shape[0]
     if not isinstance(points, tuple):
         points = PD.pack_affine(points)
-    sums = _window_sums(points, jnp.asarray(digits), n)
-    sums = np.asarray(jax.device_get(sums))  # (16, 3, 16)
+    sums = _window_sums(points, jnp.asarray(digits), n, c)
+    sums = np.asarray(jax.device_get(sums))  # (nw, 3, 16)
     total = None
     from ..fields.host import FQ_MOD, inv_mod
-    for w in range(N_WINDOWS - 1, -1, -1):
+    for w in range(nw - 1, -1, -1):
         limbs = sums[w]
         x = sum(int(limbs[0][i]) << (16 * i) for i in range(NLIMB))
         y = sum(int(limbs[1][i]) << (16 * i) for i in range(NLIMB))
@@ -148,7 +163,7 @@ def msm_device(scalars: Sequence[int], points, digits: Optional[np.ndarray] = No
         rinv = pow(FQ.r, FQ.p - 2, FQ.p)
         x, y, z = (x * rinv % FQ.p, y * rinv % FQ.p, z * rinv % FQ.p)
         if total is not None:
-            for _ in range(C_BITS):
+            for _ in range(c):
                 total = CH.g1_add(total, total)
         if z != 0:
             zi = inv_mod(z, FQ_MOD)
@@ -159,32 +174,36 @@ def msm_device(scalars: Sequence[int], points, digits: Optional[np.ndarray] = No
 
 
 def msm_host(scalars: Sequence[int], points) -> CH.G1Affine:
-    """Host Pippenger (c=8) — fast enough for small commitments and the
-    oracle for the device path."""
+    """Host Pippenger (c=8, Jacobian accumulation) — fast enough for small
+    commitments and the oracle for the device path."""
     n = len(scalars)
     if n == 0:
         return None
     c = 8 if n >= 32 else 4
     nw = (256 + c - 1) // c
-    total = None
+    total = CH.JAC_IDENTITY
     for w in range(nw - 1, -1, -1):
-        if total is not None:
+        if total != CH.JAC_IDENTITY:
             for _ in range(c):
-                total = CH.g1_add(total, total)
+                total = CH.jac_double(total)
         buckets: dict = {}
         for s, pt in zip(scalars, points):
             if pt is None:
                 continue
             d = ((s % H.FR_MOD) >> (c * w)) & ((1 << c) - 1)
             if d:
-                buckets[d] = CH.g1_add(buckets.get(d), pt) if d in buckets else pt
-        run = None
-        acc = None
+                if d in buckets:
+                    buckets[d] = CH.jac_add_affine(buckets[d], pt)
+                else:
+                    buckets[d] = CH.jac_from_affine(pt)
+        run = CH.JAC_IDENTITY
+        acc = CH.JAC_IDENTITY
         for d in range(max(buckets) if buckets else 0, 0, -1):
-            run = CH.g1_add(run, buckets.get(d))
-            acc = CH.g1_add(acc, run)
-        total = CH.g1_add(total, acc)
-    return total
+            if d in buckets:
+                run = CH.jac_add(run, buckets[d])
+            acc = CH.jac_add(acc, run)
+        total = CH.jac_add(total, acc)
+    return CH.jac_to_affine(total)
 
 
 def msm(scalars: Sequence[int], points) -> CH.G1Affine:

@@ -145,11 +145,13 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
         for phase_idx, phase in enumerate(phases):
             witness.current_phase = phase
             SimpleFloorPlanner.synthesize(witness, circuit, config, cs.constants)
-            # end of phase: absorb instances (phase 0), blind + commit advice
+            # end of phase: absorb instances (phase 0), blind + commit advice.
+            # NB: the raw caller-provided values, not the zero-padded
+            # polynomial (prover.rs:305-310 iterates self.instances)
             if phase_idx == 0:
-                for col in inst_single["values"]:
+                for col in inst:
                     for v in col:
-                        transcript.common_scalar(v)
+                        transcript.common_scalar(v % P)
             for col_idx, col_phase in enumerate(cs.advice_column_phase):
                 if col_phase != phase:
                     continue

@@ -44,18 +44,36 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
     usable_rows = n - (bf + 1)
     m_sparse: Dict[int, int] = {}
     table_index_value_mappings: List[Dict[int, int]] = [dict() for _ in tables]
-    for row in range(usable_rows):
-        idx = None
-        for t_i, (vals, table) in enumerate(zip(evaluated, tables)):
-            fi = vals[row]
-            index = table.value_index_mapping.get(fi)
+    if all(t.value_index_mapping is not None for t in tables):
+        # fast path: unique-valued tables, per-table index resolution
+        for row in range(usable_rows):
+            idx = None
+            for t_i, (vals, table) in enumerate(zip(evaluated, tables)):
+                fi = vals[row]
+                index = table.value_index_mapping.get(fi)
+                if index is None:
+                    raise ValueError(f"{fi} not in table {arg.table_ids[t_i].name}")
+                table_index_value_mappings[t_i][index] = fi
+                if idx is not None and idx != index:
+                    raise ValueError("Vector lookup must be on the same table row")
+                idx = index
+            m_sparse[idx] = m_sparse.get(idx, 0) + 1
+    else:
+        # joint-tuple resolution: some table has repeated values (e.g. the
+        # SHA rot/maj column-tables); the row index is determined by the
+        # tuple across all component tables
+        joint = {}
+        for i in range(tables[0].size):
+            joint[tuple(t.values[i] for t in tables)] = i
+        for row in range(usable_rows):
+            key = tuple(vals[row] for vals in evaluated)
+            index = joint.get(key)
             if index is None:
-                raise ValueError(f"{fi} not in table {arg.table_ids[t_i].name}")
-            table_index_value_mappings[t_i][index] = fi
-            if idx is not None and idx != index:
-                raise ValueError("Vector lookup must be on the same table row")
-            idx = index
-        m_sparse[idx] = m_sparse.get(idx, 0) + 1
+                raise ValueError(
+                    f"{key} not a row of tables {[t.name for t in arg.table_ids]}")
+            for t_i, fi in enumerate(key):
+                table_index_value_mappings[t_i][index] = fi
+            m_sparse[index] = m_sparse.get(index, 0) + 1
 
     f_cm = params.commit_lagrange(f)
     m_cm = None

@@ -54,8 +54,12 @@ class StaticTableValues:
         assert size & (size - 1) == 0, "table size must be a power of two"
         self.size = size
         self.values = [v % P for v in values]
-        self.value_index_mapping: Dict[int, int] = {v: i for i, v in enumerate(self.values)}
-        assert len(self.value_index_mapping) == size, "table values must be unique"
+        # value -> index map; None when values repeat (then the CQ prover
+        # resolves row indices jointly across the vector lookup's tables —
+        # the reference's BTreeMap asserts uniqueness and so cannot express
+        # its own multi-column SHA tables; we lift that restriction)
+        mapping: Dict[int, int] = {v: i for i, v in enumerate(self.values)}
+        self.value_index_mapping = mapping if len(mapping) == size else None
 
         k = size.bit_length() - 1
         omega = _omega_for_k(k)
@@ -88,8 +92,13 @@ class StaticTableValues:
         for c, g in zip(table_coeffs, srs_g2):
             t = CH.g2_add(t, CH.g2_mul(g, c))
         b0_bound_index = srs_g1_len - 1 - (circuit_domain - 2)
+        # NOTE: the reference stores srs_g1_len here (static_lookup.rs:150-155)
+        # but its verifier uses `size` as the table-domain N in the sumcheck
+        # (static_lookup/verifier.rs:203-213) — only consistent when the SRS
+        # is exactly table-sized.  We store the actual table size so tables
+        # smaller than the master SRS verify correctly.
         return StaticCommittedTable(
-            zv=zv, t=t, x_b0_bound=srs_g2[b0_bound_index], size=srs_g1_len)
+            zv=zv, t=t, x_b0_bound=srs_g2[b0_bound_index], size=self.size)
 
 
 @dataclass
@@ -105,23 +114,29 @@ def _omega_for_k(k: int) -> int:
     return w
 
 
-def _group_ntt(points: List[CH.G1Affine], omega: int, invert: bool = False) -> List[CH.G1Affine]:
-    """Radix-2 NTT over G1 points (host).  Same butterfly structure as the
-    scalar NTT but with point adds and scalar mults for twiddles."""
+def _group_ntt_jac(points: List, omega: int) -> List:
+    """Radix-2 NTT over G1 points in Jacobian coords (host; no inversions).
+    Same butterfly structure as the scalar NTT."""
     n = len(points)
     if n == 1:
         return list(points)
     w2 = omega * omega % P
-    even = _group_ntt(points[0::2], w2, invert)
-    odd = _group_ntt(points[1::2], w2, invert)
-    out: List[CH.G1Affine] = [None] * n
+    even = _group_ntt_jac(points[0::2], w2)
+    odd = _group_ntt_jac(points[1::2], w2)
+    out = [None] * n
     w = 1
     for i in range(n // 2):
-        t = CH.g1_mul(odd[i], w)
-        out[i] = CH.g1_add(even[i], t)
-        out[i + n // 2] = CH.g1_add(even[i], CH.g1_neg(t))
+        t = CH.jac_mul(odd[i], w)
+        neg_t = (t[0], (-t[1]) % H.FQ_MOD, t[2])  # coords are in Fq, not Fr
+        out[i] = CH.jac_add(even[i], t)
+        out[i + n // 2] = CH.jac_add(even[i], neg_t)
         w = w * omega % P
     return out
+
+
+def _group_ntt(points: List[CH.G1Affine], omega: int) -> List[CH.G1Affine]:
+    jac = [CH.jac_from_affine(p) for p in points]
+    return CH.jac_batch_to_affine(_group_ntt_jac(jac, omega))
 
 
 def fk_all_quotient_commitments(table_coeffs: List[int], srs_g1: List[CH.G1Affine],
@@ -142,18 +157,17 @@ def fk_all_quotient_commitments(table_coeffs: List[int], srs_g1: List[CH.G1Affin
     # Correlation h_j = sum_m t_m A_{m-1-j}  (A_k = [x^k]_1 for 0<=k<=N-2)
     # Reverse the point vector: define B_i = A_{-i mod 2N} so that
     # h_j = sum_m t_m B_{(1 + j - m) mod 2N} = cyclicconv(t, B)_{(1+j) mod 2N}
-    B: List[CH.G1Affine] = [None] * m2
+    B = [CH.JAC_IDENTITY] * m2
     for kk in range(0, n - 1):
-        B[(-kk) % m2] = srs_g1[kk]
+        B[(-kk) % m2] = CH.jac_from_affine(srs_g1[kk])
 
     t_pad = list(table_coeffs) + [0] * (m2 - n)
     t_hat = NTT.ntt_host(t_pad, omega2, P)
-    B_hat = _group_ntt(B, omega2)
-    prod = [CH.g1_mul(b, s) for b, s in zip(B_hat, t_hat)]
+    B_hat = _group_ntt_jac(B, omega2)
     m2_inv = pow(m2, P - 2, P)
-    conv = _group_ntt(prod, pow(omega2, P - 2, P))
-    conv = [CH.g1_mul(pt, m2_inv) for pt in conv]
+    prod = [CH.jac_mul(b, s * m2_inv % P) for b, s in zip(B_hat, t_hat)]
+    conv = _group_ntt_jac(prod, pow(omega2, P - 2, P))
     h = [conv[(1 + j) % m2] for j in range(n)]
 
     # q = NTT_N(h)
-    return _group_ntt(h, omega)
+    return CH.jac_batch_to_affine(_group_ntt_jac(h, omega))

@@ -58,30 +58,32 @@ def twiddle_table(omega: int, k: int, p_name: str = "Fr") -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _ntt_core(a: jnp.ndarray, twiddles: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Iterative DIT butterflies as pure reshape/slice arithmetic.
+
+    After the (single) bit-reversal gather, every stage's pair structure is
+    regular: viewing the array as (16, n/2^{s+1}, 2, 2^s), the butterfly is
+    a slice-multiply-add with a strided twiddle slice — no gathers or
+    scatters, which is what the VPU wants.  Stages are Python-unrolled, so
+    each has static shapes; the whole trace is ~k fused elementwise blocks.
+    """
     n = 1 << k
     perm = jnp.asarray(_bitrev_perm(k))
     a = jnp.take(a, perm, axis=1)
     if n == 1:
         return a
 
-    j = jnp.arange(n // 2, dtype=jnp.int32)
-
-    def stage(s, x):
-        half_mask = (jnp.int32(1) << s) - 1          # 2^s - 1
-        # top index: insert a 0 bit at position s
-        idx_top = ((j >> s) << (s + 1)) | (j & half_mask)
-        idx_bot = idx_top | (jnp.int32(1) << s)
-        # twiddle omega^{(j mod 2^s) * n/2^{s+1}}
-        tw_idx = (j & half_mask) << (jnp.int32(k) - 1 - s)
-        tw = jnp.take(twiddles, tw_idx, axis=1)
-        top = jnp.take(x, idx_top, axis=1)
-        bot = jnp.take(x, idx_bot, axis=1)
+    for s in range(k):
+        half = 1 << s                # butterflies per block
+        blocks = n >> (s + 1)
+        stride = 1 << (k - 1 - s)
+        tw = twiddles[:, ::stride].reshape(NLIMB, 1, half)
+        v = a.reshape(NLIMB, blocks, 2, half)
+        top = v[:, :, 0, :]
+        bot = v[:, :, 1, :]
         t = D.mont_mul(bot, tw, FR)
-        x = x.at[:, idx_top].set(D.add(top, t, FR))
-        x = x.at[:, idx_bot].set(D.sub(top, t, FR))
-        return x
-
-    return jax.lax.fori_loop(0, k, stage, a)
+        a = jnp.stack([D.add(top, t, FR), D.sub(top, t, FR)], axis=2) \
+            .reshape(NLIMB, n)
+    return a
 
 
 def ntt(a: jnp.ndarray, omega: int, k: int) -> jnp.ndarray:

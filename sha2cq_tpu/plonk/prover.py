@@ -103,7 +103,8 @@ class _WitnessCollection:
 
 
 def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
-                 rng=None, transcript: Optional[Blake2bWrite] = None) -> bytes:
+                 rng=None, transcript: Optional[Blake2bWrite] = None,
+                 multiopen: str = "gwc") -> bytes:
     """instances: per-circuit list of per-column instance value lists."""
     rng = rng or _SystemRng()
     transcript = transcript or Blake2bWrite()
@@ -274,5 +275,11 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
     queries.extend(permutation_pk_open(pk, x))
     queries.extend(vanishing_open(vanishing, x))
 
-    gwc_create_proof(params, queries, transcript)
+    if multiopen == "gwc":
+        gwc_create_proof(params, queries, transcript)
+    elif multiopen == "shplonk":
+        from ..poly.kzg.shplonk import shplonk_create_proof
+        shplonk_create_proof(params, queries, transcript)
+    else:
+        raise ValueError(f"unknown multiopen scheme {multiopen!r}")
     return transcript.finalize()

@@ -38,7 +38,8 @@ P = FR_MOD
 
 def verify_proof(params, vk: VerifyingKey, strategy: AccumulatorStrategy,
                  instances: Sequence[Sequence[Sequence[int]]],
-                 transcript: Blake2bRead) -> PairingBatcher:
+                 transcript: Blake2bRead,
+                 multiopen: str = "gwc") -> PairingBatcher:
     cs = vk.cs
     domain = vk.domain
     n = params.n
@@ -204,8 +205,15 @@ def verify_proof(params, vk: VerifyingKey, strategy: AccumulatorStrategy,
     queries.extend(permutation_common_queries(vk, permutations_common, x))
     queries.extend(vanishing_queries(vanishing, x))
 
+    if multiopen == "gwc":
+        verify_fn = gwc_verify_proof
+    elif multiopen == "shplonk":
+        from ..poly.kzg.shplonk import shplonk_verify_proof
+        verify_fn = shplonk_verify_proof
+    else:
+        raise ValueError(f"unknown multiopen scheme {multiopen!r}")
     strategy = strategy.process(
-        lambda msm: gwc_verify_proof(params, queries, transcript, msm))
+        lambda msm: verify_fn(params, queries, transcript, msm))
 
     batcher_challenge = transcript.squeeze_challenge()
     batcher = PairingBatcher(batcher_challenge)

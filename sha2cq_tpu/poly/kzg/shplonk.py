@@ -1,0 +1,189 @@
+"""SHPLONK multipoint opening argument.
+
+Mirrors reference poly/kzg/multiopen/shplonk{.rs,/prover.rs,/verifier.rs}:
+commitments are grouped by their *rotation set* (the set of points each is
+opened at); per set, numerators P_ij - R_ij (R = low-degree interpolant of
+the claimed evals) are y-combined and divided by the set's vanishing poly;
+the v-combined quotient is committed (h1); after u, a linearisation poly is
+built, divided by (X - u), normalized by the first set's difference
+vanishing eval, and committed (h2).  Proof = exactly 2 G1 points regardless
+of the number of openings.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple, Union
+
+from ...fields.host import FR_MOD, inv_mod
+from .. import arith as A
+from .gwc import ProverQuery, VerifierQuery
+from .msm_accum import DualMSM, MSMKZG
+
+P = FR_MOD
+
+
+def _eval_vanishing(roots: Sequence[int], u: int) -> int:
+    acc = 1
+    for r in roots:
+        acc = acc * ((u - r) % P) % P
+    return acc
+
+
+def _commitment_key(c):
+    if isinstance(c, tuple):
+        return ("pt", c)
+    return ("obj", id(c))
+
+
+def _intermediate_sets(queries):
+    """-> (rotation_sets, super_point_set); each rotation set =
+    {"points": [..], "entries": [(commitment_or_poly, [evals in point order])]}"""
+    comm_points: List[Tuple[object, List[int]]] = []  # ordered, unique points
+    evals: Dict[Tuple, Dict[int, object]] = {}
+    super_points: List[int] = []
+    for q in queries:
+        key = _commitment_key(q.commitment if isinstance(q, VerifierQuery) else q.poly)
+        if q.point not in super_points:
+            super_points.append(q.point)
+        for ck, pts in comm_points:
+            if _commitment_key(ck) == key:
+                if q.point not in pts:
+                    pts.append(q.point)
+                break
+        else:
+            comm_points.append(
+                (q.commitment if isinstance(q, VerifierQuery) else q.poly, [q.point]))
+        evals.setdefault(key, {})[q.point] = q
+
+    # group commitments by rotation set (as a set)
+    sets: List[dict] = []
+    for comm, pts in comm_points:
+        key_set = frozenset(pts)
+        for s in sets:
+            if frozenset(s["points"]) == key_set:
+                s["entries"].append(comm)
+                break
+        else:
+            sets.append({"points": list(pts), "entries": [comm]})
+    return sets, super_points, evals
+
+
+def shplonk_create_proof(params, queries: Sequence[ProverQuery], transcript) -> None:
+    y = transcript.squeeze_challenge()
+    sets, super_points, _ = _intermediate_sets(queries)
+
+    # evals per (poly, point)
+    def poly_eval(poly, pt):
+        return A.eval_polynomial(poly, pt)
+
+    # low-degree equivalents per set entry
+    for s in sets:
+        s["ldes"] = []
+        for poly in s["entries"]:
+            evals = [poly_eval(poly, pt) for pt in s["points"]]
+            s["ldes"].append(A.lagrange_interpolate(s["points"], evals))
+
+    v = transcript.squeeze_challenge()
+
+    def div_by_roots(poly, roots):
+        out = list(poly)
+        for r in roots:
+            out = A.kate_division(out, r)
+        return out
+
+    # h_x = sum_i v^i * [ (sum_j y^j (P_ij - R_ij)) / Z_i ]
+    h_x: List[int] = []
+    pv = 1
+    for s in sets:
+        n_x: List[int] = []
+        py = 1
+        for poly, lde in zip(s["entries"], s["ldes"]):
+            diff = A.poly_add(poly, A.poly_scale(lde, P - 1))
+            n_x = A.poly_add(n_x, A.poly_scale(diff, py))
+            py = py * y % P
+        q_i = div_by_roots(n_x, s["points"])
+        h_x = A.poly_add(h_x, A.poly_scale(q_i, pv))
+        pv = pv * v % P
+    h_x = (h_x + [0] * params.n)[: params.n]
+    transcript.write_point(params.commit(h_x))
+
+    u = transcript.squeeze_challenge()
+
+    # linearisation
+    l_x: List[int] = []
+    z_diffs = []
+    pv = 1
+    for s in sets:
+        diffs = [pt for pt in super_points if pt not in s["points"]]
+        z_i = _eval_vanishing(diffs, u)
+        z_diffs.append(z_i)
+        inner: List[int] = []
+        py = 1
+        for poly, lde in zip(s["entries"], s["ldes"]):
+            r_eval = A.eval_polynomial(lde, u)
+            term = list(poly)
+            term[0] = (term[0] - r_eval) % P
+            inner = A.poly_add(inner, A.poly_scale(term, py))
+            py = py * y % P
+        l_x = A.poly_add(l_x, A.poly_scale(inner, z_i * pv % P))
+        pv = pv * v % P
+
+    zt_eval = _eval_vanishing(super_points, u)
+    l_x = A.poly_add(l_x, A.poly_scale(h_x, (P - zt_eval) % P))
+    assert A.eval_polynomial(l_x, u) == 0, "SHPLONK linearisation sanity"
+    h2 = A.kate_division(l_x, u)
+    z0_diff_inv = inv_mod(z_diffs[0], P)
+    h2 = A.poly_scale(h2, z0_diff_inv)
+    transcript.write_point(params.commit(h2))
+
+
+def shplonk_verify_proof(params, queries: Sequence[VerifierQuery], transcript,
+                         msm_accumulator: DualMSM) -> DualMSM:
+    sets, super_points, evals = _intermediate_sets(queries)
+    y = transcript.squeeze_challenge()
+    v = transcript.squeeze_challenge()
+    h1 = transcript.read_point()
+    u = transcript.squeeze_challenge()
+    h2 = transcript.read_point()
+
+    z_0 = 0
+    z_0_diff_inverse = 0
+    outer = MSMKZG()
+    r_outer_acc = 0
+    pv = 1
+    for i, s in enumerate(sets):
+        diffs = [pt for pt in super_points if pt not in s["points"]]
+        z_diff_i = _eval_vanishing(diffs, u)
+        if i == 0:
+            z_0 = _eval_vanishing(s["points"], u)
+            z_0_diff_inverse = inv_mod(z_diff_i, P)
+            z_diff_i = 1
+        else:
+            z_diff_i = z_diff_i * z_0_diff_inverse % P
+
+        inner = MSMKZG()
+        r_inner = 0
+        py = 1
+        for comm in s["entries"]:
+            key = _commitment_key(comm)
+            point_evals = [evals[key][pt].eval for pt in s["points"]]
+            r_x = A.lagrange_interpolate(s["points"], point_evals)
+            r_inner = (r_inner + py * A.eval_polynomial(r_x, u)) % P
+            if isinstance(comm, MSMKZG):
+                m = comm.clone()
+                m.scale(py)
+                inner.add_msm(m)
+            else:
+                inner.append_term(py, comm)
+            py = py * y % P
+        inner.scale(pv * z_diff_i % P)
+        outer.add_msm(inner)
+        r_outer_acc = (r_outer_acc + pv * r_inner % P * z_diff_i) % P
+        pv = pv * v % P
+
+    outer.append_term((-r_outer_acc) % P, params.g[0])
+    outer.append_term((-z_0) % P, h1)
+    outer.append_term(u, h2)
+
+    msm_accumulator.left.append_term(1, h2)
+    msm_accumulator.right.add_msm(outer)
+    return msm_accumulator

@@ -136,3 +136,84 @@ def test_kate_division():
     x = random.randrange(P)
     lhs = (A.eval_polynomial(q, x) * (x - b) + A.eval_polynomial(coeffs, b)) % P
     assert lhs == A.eval_polynomial(coeffs, x)
+
+
+def test_shplonk_roundtrip():
+    """SHPLONK: 2-point proof regardless of query count (reference
+    poly/kzg/multiopen/shplonk)."""
+    from sha2cq_tpu.poly.kzg.shplonk import (shplonk_create_proof,
+                                             shplonk_verify_proof)
+    k = 3
+    s = random.randrange(P)
+    params = ParamsKZG.setup_from_toxic_waste(k, s)
+    n = 1 << k
+    polys = [[random.randrange(P) for _ in range(n)] for _ in range(3)]
+    commits = [params.commit(p) for p in polys]
+    z1, z2, z3 = (random.randrange(P) for _ in range(3))
+
+    # rotation sets: p0 @ {z1, z2}; p1 @ {z1, z2}; p2 @ {z3}
+    pq = [ProverQuery(z1, polys[0]), ProverQuery(z2, polys[0]),
+          ProverQuery(z1, polys[1]), ProverQuery(z2, polys[1]),
+          ProverQuery(z3, polys[2])]
+    w = Blake2bWrite()
+    shplonk_create_proof(params, pq, w)
+    proof = w.finalize()
+    assert len(proof) == 2 * 32  # always two commitments
+
+    def vq():
+        return [
+            VerifierQuery(z1, commits[0], A.eval_polynomial(polys[0], z1)),
+            VerifierQuery(z2, commits[0], A.eval_polynomial(polys[0], z2)),
+            VerifierQuery(z1, commits[1], A.eval_polynomial(polys[1], z1)),
+            VerifierQuery(z2, commits[1], A.eval_polynomial(polys[1], z2)),
+            VerifierQuery(z3, commits[2], A.eval_polynomial(polys[2], z3)),
+        ]
+
+    acc = shplonk_verify_proof(params, vq(), Blake2bRead(proof), DualMSM(params))
+    assert acc.check()
+
+    bad = vq()
+    bad[0] = VerifierQuery(z1, commits[0], (bad[0].eval + 1) % P)
+    acc = shplonk_verify_proof(params, bad, Blake2bRead(proof), DualMSM(params))
+    assert not acc.check()
+
+
+def test_shplonk_full_protocol():
+    """End-to-end prove/verify with the SHPLONK multiopen selected."""
+    import random as _r
+    from sha2cq_tpu.circuit import Value
+    from sha2cq_tpu.plonk import (ConstraintSystem, create_proof, keygen_pk,
+                                  keygen_vk, verify_proof)
+    from sha2cq_tpu.utils.transcript import Blake2bRead as _Read
+
+    class SqCircuit:
+        def __init__(self, x):
+            self.x = x
+
+        @classmethod
+        def configure(cls, meta):
+            a = meta.advice_column()
+            q = meta.fixed_column()
+            meta.create_gate("sq", lambda c: [
+                c.query_fixed(q, 0) * (c.query_advice(a, 0) * c.query_advice(a, 0)
+                                       - c.query_advice(a, 1))])
+            return (a, q)
+
+        def synthesize(self, cfg, layouter):
+            a, q = cfg
+
+            def f(region):
+                region.assign_fixed(q, 0, Value.known(1))
+                region.assign_advice(a, 0, Value.known(self.x))
+                region.assign_advice(a, 1, Value.known(self.x * self.x % P))
+            layouter.assign_region("sq", f)
+
+    rng = _r.Random(5)
+    params = ParamsKZG.setup_from_toxic_waste(4, rng.randrange(P))
+    c = SqCircuit(7)
+    vk = keygen_vk(params, c)
+    pk = keygen_pk(params, {}, [], vk, c)
+    proof = create_proof(params, pk, [c], [[]], rng=rng, multiopen="shplonk")
+    batcher = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
+                           [[]], _Read(proof), multiopen="shplonk")
+    assert batcher.check()

@@ -1,0 +1,123 @@
+"""Full gate + dynamic lookup + permutation circuit through keygen/prove/
+verify — the plonk_api.rs-class coverage (reference halo2_proofs/tests/
+plonk_api.rs).
+
+Circuit: a multiplication gate (a * b = c), a copy constraint tying two
+advice cells, a dynamic range-lookup of `a` into a fixed table, and a public
+instance exposing `c`.
+"""
+import random
+
+import pytest
+
+from sha2cq_tpu.circuit import Value
+from sha2cq_tpu.dev.mock_prover import MockProver
+from sha2cq_tpu.fields.host import FR_MOD
+from sha2cq_tpu.plonk import (ConstraintSystem, create_proof, keygen_pk,
+                              keygen_vk, verify_proof)
+from sha2cq_tpu.poly.kzg.params import ParamsKZG
+from sha2cq_tpu.poly.kzg.strategy import AccumulatorStrategy
+from sha2cq_tpu.utils.transcript import Blake2bRead
+
+P = FR_MOD
+K = 5
+TABLE = list(range(12))  # dynamic lookup table: a must be < 12
+
+
+class ApiCircuit:
+    def __init__(self, a_vals, b_vals):
+        self.a_vals = a_vals
+        self.b_vals = b_vals
+
+    @classmethod
+    def configure(cls, meta: ConstraintSystem):
+        a = meta.advice_column()
+        b = meta.advice_column()
+        c = meta.advice_column()
+        q_mul = meta.fixed_column()
+        table = meta.lookup_table_column()
+        inst = meta.instance_column()
+        meta.enable_equality(a)
+        meta.enable_equality(b)
+        meta.enable_equality(c)
+        meta.enable_equality(inst)
+
+        meta.create_gate("mul", lambda cells: [
+            cells.query_fixed(q_mul, 0)
+            * (cells.query_advice(a, 0) * cells.query_advice(b, 0)
+               - cells.query_advice(c, 0))
+        ])
+        meta.lookup("range", lambda cells: [
+            (cells.query_advice(a, 0), table),
+        ])
+        return {"a": a, "b": b, "c": c, "q_mul": q_mul, "table": table, "inst": inst}
+
+    def synthesize(self, cfg, layouter):
+        def fill_table(table):
+            for i, v in enumerate(TABLE):
+                table.assign_cell(cfg["table"], i, Value.known(v))
+        layouter.assign_table("range", fill_table)
+
+        n_rows = len(self.a_vals)
+        cells = {}
+
+        def assign(region):
+            for i, (av, bv) in enumerate(zip(self.a_vals, self.b_vals)):
+                region.assign_fixed(cfg["q_mul"], i, Value.known(1))
+                ca = region.assign_advice(cfg["a"], i, Value.known(av))
+                cb = region.assign_advice(cfg["b"], i, Value.known(bv))
+                cc = region.assign_advice(cfg["c"], i, Value.known(av * bv % P))
+                cells[i] = (ca, cb, cc)
+            # copy constraint: b[1] must equal a[0]
+            region.constrain_equal(cells[0][0].cell, cells[1][1].cell)
+            return cells
+
+        got = layouter.assign_region("rows", assign)
+        # expose c[0] as public input
+        layouter.constrain_instance(got[0][2].cell, cfg["inst"], 0)
+
+
+def _inputs():
+    a = [3, 7, 5]
+    b = [4, a[0], 11]   # b[1] = a[0] satisfies the copy constraint
+    return a, b
+
+
+def test_mock():
+    a, b = _inputs()
+    circuit = ApiCircuit(a, b)
+    inst = [a[0] * b[0] % P]
+    MockProver.run(K, circuit, [inst]).assert_satisfied()
+
+    # out-of-range lookup value
+    bad = ApiCircuit([3, 7, 13], b)
+    failures = MockProver.run(K, bad, [inst]).verify()
+    assert any(f.kind == "lookup" for f in failures)
+
+    # broken copy constraint
+    bad2 = ApiCircuit(a, [4, 9, 11])
+    failures = MockProver.run(K, bad2, [inst]).verify()
+    assert any(f.kind in ("permutation", "gate") for f in failures)
+
+
+def test_prove_verify_dynamic_lookup():
+    rng = random.Random(31337)
+    s = rng.randrange(P)
+    params = ParamsKZG.setup_from_toxic_waste(K, s)
+    a, b = _inputs()
+    circuit = ApiCircuit(a, b)
+    inst = [a[0] * b[0] % P]
+
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, {}, [], vk, circuit)
+    proof = create_proof(params, pk, [circuit], [[inst]], rng=rng)
+
+    batcher = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
+                           [[inst]], Blake2bRead(proof))
+    assert batcher.check()
+
+    # wrong instance
+    wrong = [[[(inst[0] + 1) % P]]]
+    batcher = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
+                           wrong, Blake2bRead(proof))
+    assert not batcher.check()

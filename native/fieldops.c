@@ -1,0 +1,293 @@
+/* Native BN254 G1 group kernels for the host runtime.
+ *
+ * The reference's math core is Rust with inline x86-64 asm
+ * (arithmetic/curves/src/{derive/field.rs, bn256/assembly.rs}); this is the
+ * framework's native counterpart for the host-side work that doesn't belong
+ * on the TPU: SRS generation, Feist-Khovratovich table preprocessing chains,
+ * small commitment MSMs, and verifier-side folds.  4x64-bit Montgomery
+ * arithmetic over Fq with __int128 products; Jacobian point ops; Pippenger
+ * MSM.  Exposed through a tiny C ABI consumed via ctypes
+ * (sha2cq_tpu/native_loader.py).
+ *
+ * Data layout at the ABI: field elements are canonical (non-Montgomery)
+ * little-endian u64[4]; points are u64[12] (X, Y, Z Jacobian, Z=0 identity);
+ * scalars are canonical u64[4].
+ */
+#include <stdint.h>
+#include <string.h>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+static const u64 Q[4] = {0x3c208c16d87cfd47ULL, 0x97816a916871ca8dULL,
+                         0xb85045b68181585dULL, 0x30644e72e131a029ULL};
+static const u64 R2[4] = {0xf32cfc5b538afa89ULL, 0xb5e71911d44501fbULL,
+                          0x47ab1eff0a417ff6ULL, 0x06d89f71cab8351fULL};
+static const u64 RMODQ[4] = {0xd35d438dc58f0d9dULL, 0x0a78eb28f5c70b3dULL,
+                             0x666ea36f7879462cULL, 0x0e0a77c19a07df2fULL};
+static const u64 NINV = 0x87d20782e4866389ULL;
+
+typedef struct { u64 v[4]; } fq;
+
+static inline int fq_is_zero(const fq *a) {
+    return (a->v[0] | a->v[1] | a->v[2] | a->v[3]) == 0;
+}
+
+static inline int geq(const u64 a[4], const u64 b[4]) {
+    for (int i = 3; i >= 0; i--) {
+        if (a[i] > b[i]) return 1;
+        if (a[i] < b[i]) return 0;
+    }
+    return 1;
+}
+
+static inline void sub_q(u64 a[4]) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a[i] - Q[i] - borrow;
+        a[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+    }
+}
+
+static void fq_add(fq *r, const fq *a, const fq *b) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 s = (u128)a->v[i] + b->v[i] + carry;
+        r->v[i] = (u64)s;
+        carry = s >> 64;
+    }
+    if (carry || geq(r->v, Q)) sub_q(r->v);
+}
+
+static void fq_sub(fq *r, const fq *a, const fq *b) {
+    u128 borrow = 0;
+    u64 t[4];
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a->v[i] - b->v[i] - borrow;
+        t[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+    }
+    if (borrow) {
+        u128 carry = 0;
+        for (int i = 0; i < 4; i++) {
+            u128 s = (u128)t[i] + Q[i] + carry;
+            t[i] = (u64)s;
+            carry = s >> 64;
+        }
+    }
+    memcpy(r->v, t, sizeof t);
+}
+
+/* CIOS Montgomery multiplication */
+static void fq_mul(fq *r, const fq *a, const fq *b) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        u128 carry = 0;
+        for (int j = 0; j < 4; j++) {
+            u128 cur = (u128)t[j] + (u128)a->v[i] * b->v[j] + carry;
+            t[j] = (u64)cur;
+            carry = cur >> 64;
+        }
+        u128 cur = (u128)t[4] + carry;
+        t[4] = (u64)cur;
+        t[5] = (u64)(cur >> 64);
+
+        u64 m = t[0] * NINV;
+        carry = ((u128)t[0] + (u128)m * Q[0]) >> 64;
+        for (int j = 1; j < 4; j++) {
+            u128 c2 = (u128)t[j] + (u128)m * Q[j] + carry;
+            t[j - 1] = (u64)c2;
+            carry = c2 >> 64;
+        }
+        cur = (u128)t[4] + carry;
+        t[3] = (u64)cur;
+        t[4] = t[5] + (u64)(cur >> 64);
+        t[5] = 0;
+    }
+    if (t[4] || geq(t, Q)) sub_q(t);
+    memcpy(r->v, t, 4 * sizeof(u64));
+}
+
+static void fq_to_mont(fq *r, const fq *a) {
+    fq r2;
+    memcpy(r2.v, R2, sizeof R2);
+    fq_mul(r, a, &r2);
+}
+
+static void fq_from_mont(fq *r, const fq *a) {
+    fq one = {{1, 0, 0, 0}};
+    fq_mul(r, a, &one);
+}
+
+static void fq_dbl(fq *r, const fq *a) { fq_add(r, a, a); }
+
+/* Jacobian point, Montgomery-form coordinates */
+typedef struct { fq x, y, z; } pt;
+
+static void pt_set_identity(pt *p) {
+    memset(p, 0, sizeof *p);
+    memcpy(p->x.v, RMODQ, sizeof RMODQ); /* (1, 1, 0) in Montgomery form */
+    memcpy(p->y.v, RMODQ, sizeof RMODQ);
+}
+
+static int pt_is_identity(const pt *p) { return fq_is_zero(&p->z); }
+
+static void pt_double(pt *r, const pt *p) {
+    if (pt_is_identity(p)) { *r = *p; return; }
+    fq A, B, C, D, E, F, t, t2;
+    fq_mul(&A, &p->x, &p->x);
+    fq_mul(&B, &p->y, &p->y);
+    fq_mul(&C, &B, &B);
+    fq_add(&t, &p->x, &B);
+    fq_mul(&t, &t, &t);
+    fq_sub(&t, &t, &A);
+    fq_sub(&t, &t, &C);
+    fq_dbl(&D, &t);
+    fq_dbl(&E, &A);
+    fq_add(&E, &E, &A);
+    fq_mul(&F, &E, &E);
+    pt out;
+    fq_dbl(&t, &D);
+    fq_sub(&out.x, &F, &t);
+    fq_sub(&t, &D, &out.x);
+    fq_mul(&t, &E, &t);
+    fq_dbl(&t2, &C); fq_dbl(&t2, &t2); fq_dbl(&t2, &t2); /* 8C */
+    fq_sub(&out.y, &t, &t2);
+    fq_mul(&t, &p->y, &p->z);
+    fq_dbl(&out.z, &t);
+    *r = out;
+}
+
+static void pt_add(pt *r, const pt *p, const pt *q) {
+    if (pt_is_identity(p)) { *r = *q; return; }
+    if (pt_is_identity(q)) { *r = *p; return; }
+    fq z1z1, z2z2, u1, u2, s1, s2, t;
+    fq_mul(&z1z1, &p->z, &p->z);
+    fq_mul(&z2z2, &q->z, &q->z);
+    fq_mul(&u1, &p->x, &z2z2);
+    fq_mul(&u2, &q->x, &z1z1);
+    fq_mul(&t, &q->z, &z2z2);
+    fq_mul(&s1, &p->y, &t);
+    fq_mul(&t, &p->z, &z1z1);
+    fq_mul(&s2, &q->y, &t);
+    fq h, rr;
+    fq_sub(&h, &u2, &u1);
+    fq_sub(&rr, &s2, &s1);
+    if (fq_is_zero(&h)) {
+        if (fq_is_zero(&rr)) { pt_double(r, p); return; }
+        pt_set_identity(r);
+        return;
+    }
+    fq hh, hhh, v;
+    fq_mul(&hh, &h, &h);
+    fq_mul(&hhh, &h, &hh);
+    fq_mul(&v, &u1, &hh);
+    pt out;
+    fq_mul(&t, &rr, &rr);
+    fq_sub(&t, &t, &hhh);
+    fq tv;
+    fq_dbl(&tv, &v);
+    fq_sub(&out.x, &t, &tv);
+    fq_sub(&t, &v, &out.x);
+    fq_mul(&t, &rr, &t);
+    fq tu;
+    fq_mul(&tu, &s1, &hhh);
+    fq_sub(&out.y, &t, &tu);
+    fq_mul(&t, &p->z, &q->z);
+    fq_mul(&out.z, &t, &h);
+    *r = out;
+}
+
+/* ---------------- exported ABI (canonical u64[4] coordinates) ------------- */
+
+static void load_pt(pt *p, const u64 *in) {
+    fq x = {{in[0], in[1], in[2], in[3]}};
+    fq y = {{in[4], in[5], in[6], in[7]}};
+    fq z = {{in[8], in[9], in[10], in[11]}};
+    fq_to_mont(&p->x, &x);
+    fq_to_mont(&p->y, &y);
+    fq_to_mont(&p->z, &z);
+}
+
+static void store_pt(u64 *out, const pt *p) {
+    fq x, y, z;
+    fq_from_mont(&x, &p->x);
+    fq_from_mont(&y, &p->y);
+    fq_from_mont(&z, &p->z);
+    memcpy(out, x.v, 32);
+    memcpy(out + 4, y.v, 32);
+    memcpy(out + 8, z.v, 32);
+}
+
+void g1_add_jac(const u64 *a, const u64 *b, u64 *out) {
+    pt p, q, r;
+    load_pt(&p, a);
+    load_pt(&q, b);
+    pt_add(&r, &p, &q);
+    store_pt(out, &r);
+}
+
+void g1_scalar_mul(const u64 *point, const u64 *scalar, u64 *out) {
+    pt base, acc;
+    load_pt(&base, point);
+    pt_set_identity(&acc);
+    int top = 3;
+    while (top >= 0 && scalar[top] == 0) top--;
+    if (top >= 0) {
+        for (int i = top; i >= 0; i--) {
+            u64 w = scalar[i];
+            int start = (i == top) ? 63 - __builtin_clzll(w) : 63;
+            for (int bit = start; bit >= 0; bit--) {
+                pt_double(&acc, &acc);
+                if ((w >> bit) & 1) pt_add(&acc, &acc, &base);
+            }
+        }
+    }
+    store_pt(out, &acc);
+}
+
+/* Pippenger MSM, window c = 8.  points: n * u64[12] (Jacobian canonical),
+ * scalars: n * u64[4] canonical.  out: u64[12]. */
+void g1_msm(const u64 *points, const u64 *scalars, long n, u64 *out) {
+    enum { C = 8, NBUCKET = 1 << C, NW = (256 + C - 1) / C };
+    static pt buckets[NBUCKET]; /* single-threaded use */
+    pt total;
+    pt_set_identity(&total);
+
+    /* preload points into Montgomery form once */
+    pt *pts = (pt *)__builtin_malloc(sizeof(pt) * (size_t)n);
+    for (long i = 0; i < n; i++) load_pt(&pts[i], points + 12 * i);
+
+    for (int w = NW - 1; w >= 0; w--) {
+        if (!pt_is_identity(&total))
+            for (int d = 0; d < C; d++) pt_double(&total, &total);
+        for (int b = 0; b < NBUCKET; b++) pt_set_identity(&buckets[b]);
+        for (long i = 0; i < n; i++) {
+            int limb = (w * C) / 64;
+            int shift = (w * C) % 64;
+            u64 d = (scalars[4 * i + limb] >> shift);
+            if (shift > 64 - C && limb < 3)
+                d |= scalars[4 * i + limb + 1] << (64 - shift);
+            d &= (NBUCKET - 1);
+            if (d) pt_add(&buckets[d], &buckets[d], &pts[i]);
+        }
+        pt run, acc;
+        pt_set_identity(&run);
+        pt_set_identity(&acc);
+        for (int b = NBUCKET - 1; b >= 1; b--) {
+            pt_add(&run, &run, &buckets[b]);
+            pt_add(&acc, &acc, &run);
+        }
+        pt_add(&total, &total, &acc);
+    }
+    __builtin_free(pts);
+    store_pt(out, &total);
+}
+
+/* batch scalar-mul: out[i] = scalar[i] * point[i] (for SRS power chains,
+ * FK pointwise products, Lagrange basis construction) */
+void g1_batch_scalar_mul(const u64 *points, const u64 *scalars, long n, u64 *out) {
+    for (long i = 0; i < n; i++)
+        g1_scalar_mul(points + 12 * i, scalars + 4 * i, out + 12 * i);
+}

@@ -134,6 +134,11 @@ def jac_add_affine(p, a: G1Affine):
 
 def jac_mul(p, k: int):
     k %= FR_MOD
+    if k == 0 or p[2] == 0:
+        return JAC_IDENTITY
+    native = _native_jac_mul(p, k)
+    if native is not None:
+        return native
     result = JAC_IDENTITY
     add = p
     while k:
@@ -142,6 +147,14 @@ def jac_mul(p, k: int):
         add = jac_double(add)
         k >>= 1
     return result
+
+
+def _native_jac_mul(p, k):
+    try:
+        from ..native_loader import native_jac_mul
+    except ImportError:
+        return None
+    return native_jac_mul(p, k)
 
 
 def jac_to_affine(p) -> G1Affine:

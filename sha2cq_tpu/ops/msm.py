@@ -174,11 +174,16 @@ def msm_device(scalars: Sequence[int], points, digits: Optional[np.ndarray] = No
 
 
 def msm_host(scalars: Sequence[int], points) -> CH.G1Affine:
-    """Host Pippenger (c=8, Jacobian accumulation) — fast enough for small
-    commitments and the oracle for the device path."""
+    """Host Pippenger (c=8): native C kernel when available, else the
+    pure-Python Jacobian accumulation."""
     n = len(scalars)
     if n == 0:
         return None
+    from ..native_loader import native_msm
+    jac = [CH.jac_from_affine(pt) for pt in points[:n]]
+    res = native_msm([s % H.FR_MOD for s in scalars], jac)
+    if res is not None:
+        return CH.jac_to_affine(res)
     c = 8 if n >= 32 else 4
     nw = (256 + c - 1) // c
     total = CH.JAC_IDENTITY

@@ -1,0 +1,255 @@
+"""Key / params (de)serialization — checkpoint & resume.
+
+Mirrors the reference's VK/PK persistence (plonk.rs:93-180, 349-418,
+helpers.rs SerdeFormat) with one deliberate improvement: static (CQ) tables
+ARE serialized.  The reference stubs them out on read with empty maps
+(plonk.rs:161-163, 384-402 — a marked TODO/FIXME), which breaks resume for
+exactly the artifacts that are hours of preprocessing at 2^20+; here the
+committed halves ride with the VK and the opened halves (including the FK
+quotient commitments) with the PK.
+
+Like the reference, reading a key requires the circuit (configure() is
+re-run to rebuild the constraint system); the byte payload carries only
+what cannot be re-derived.
+
+Format: little-endian u32 length prefixes; scalars 32B LE; G1 points 64B
+raw affine (x||y, zero = identity); G2 points 128B raw.
+"""
+from __future__ import annotations
+
+import io
+import struct
+from typing import Dict, List
+
+from ..curves.host import G1Affine, G2Affine
+from ..fields.host import FR_MOD
+from ..plonk.circuit_ir import ConstraintSystem, StaticTableId
+from ..plonk.keygen import keygen_vk  # noqa: F401 (doc reference)
+from ..plonk.keys import PermutationProvingKey, ProvingKey, VerifyingKey
+from ..plonk.static_tables import (StaticCommittedTable, StaticTableConfig,
+                                   StaticTableValues)
+from ..poly.domain import EvaluationDomain
+from ..poly.kzg.params import ParamsKZG
+from . import serde
+
+
+class _W:
+    def __init__(self):
+        self.b = io.BytesIO()
+
+    def u32(self, v: int):
+        self.b.write(struct.pack("<I", v))
+
+    def scalar(self, v: int):
+        self.b.write(serde.fr_to_bytes(v))
+
+    def g1(self, pt: G1Affine):
+        self.b.write(serde.g1_to_raw_bytes(pt))
+
+    def g2(self, pt: G2Affine):
+        self.b.write(serde.g2_to_raw_bytes(pt))
+
+    def scalars(self, vs):
+        self.u32(len(vs))
+        for v in vs:
+            self.scalar(v)
+
+    def g1s(self, pts):
+        self.u32(len(pts))
+        for p in pts:
+            self.g1(p)
+
+    def string(self, s: str):
+        raw = s.encode()
+        self.u32(len(raw))
+        self.b.write(raw)
+
+    def bytes(self) -> bytes:
+        return self.b.getvalue()
+
+
+class _R:
+    def __init__(self, data: bytes):
+        self.b = io.BytesIO(data)
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.b.read(4))[0]
+
+    def scalar(self) -> int:
+        return serde.fr_from_bytes(self.b.read(32))
+
+    def g1(self) -> G1Affine:
+        return serde.g1_from_raw_bytes(self.b.read(64))
+
+    def g2(self) -> G2Affine:
+        return serde.g2_from_raw_bytes(self.b.read(128))
+
+    def scalars(self) -> List[int]:
+        return [self.scalar() for _ in range(self.u32())]
+
+    def g1s(self) -> List[G1Affine]:
+        return [self.g1() for _ in range(self.u32())]
+
+    def string(self) -> str:
+        n = self.u32()
+        return self.b.read(n).decode()
+
+
+# ------------------------------- params -------------------------------------
+
+def write_params(params: ParamsKZG) -> bytes:
+    w = _W()
+    w.u32(params.k)
+    w.g1s(params.g)
+    w.g1s(params.g_lagrange)
+    w.g2(params.g2)
+    w.g2(params.s_g2)
+    return w.bytes()
+
+
+def read_params(data: bytes) -> ParamsKZG:
+    r = _R(data)
+    k = r.u32()
+    return ParamsKZG(k=k, n=1 << k, g=r.g1s(), g_lagrange=r.g1s(),
+                     g2=r.g2(), s_g2=r.g2())
+
+
+# --------------------------------- VK ---------------------------------------
+
+def write_vk(vk: VerifyingKey) -> bytes:
+    w = _W()
+    w.u32(vk.domain.k)
+    w.u32(vk.cs_degree)
+    w.g1s(vk.fixed_commitments)
+    w.g1s(vk.permutation_commitments)
+    w.u32(len(vk.selectors))
+    for col in vk.selectors:
+        w.u32(len(col))
+        self_bytes = bytes(1 if b else 0 for b in col)
+        w.b.write(self_bytes)
+    w.u32(len(vk.static_table_mapping))
+    for tid, t in vk.static_table_mapping.items():
+        w.string(tid.name)
+        w.g2(t.zv)
+        w.g2(t.t)
+        w.g2(t.x_b0_bound)
+        w.u32(t.size)
+    return w.bytes()
+
+
+def read_vk(data: bytes, circuit) -> VerifyingKey:
+    r = _R(data)
+    k = r.u32()
+    _deg = r.u32()
+    fixed_commitments = r.g1s()
+    permutation_commitments = r.g1s()
+    selectors = []
+    for _ in range(r.u32()):
+        n = r.u32()
+        selectors.append([b == 1 for b in r.b.read(n)])
+    static = {}
+    for _ in range(r.u32()):
+        name = r.string()
+        static[StaticTableId(name)] = StaticCommittedTable(
+            zv=r.g2(), t=r.g2(), x_b0_bound=r.g2(), size=r.u32())
+
+    cs = ConstraintSystem()
+    type(circuit).configure(cs)
+    cs.convert_selectors_to_fixed(selectors)
+    domain = EvaluationDomain(cs.degree(), k)
+    return VerifyingKey(domain, fixed_commitments, permutation_commitments,
+                        cs, selectors, static)
+
+
+# --------------------------------- PK ---------------------------------------
+
+def write_pk(pk: ProvingKey) -> bytes:
+    w = _W()
+    w.b.write(write_vk(pk.vk))
+    for field in (pk.l0, pk.l_last, pk.l_active_row):
+        w.scalars(field)
+    for group in (pk.fixed_values, pk.fixed_polys, pk.fixed_cosets,
+                  pk.permutation.permutations, pk.permutation.polys,
+                  pk.permutation.cosets):
+        w.u32(len(group))
+        for col in group:
+            w.scalars(col)
+    w.u32(len(pk.static_table_mapping))
+    for tid, t in pk.static_table_mapping.items():
+        w.string(tid.name)
+        w.scalars(t.values)
+        w.g1s(t.qs)
+    w.u32(len(pk.static_table_configs))
+    for size, cfg in pk.static_table_configs.items():
+        w.u32(size)
+        w.g1s(cfg.g1_lagrange)
+        w.g1s(cfg.g_lagrange_opening_at_0)
+    w.g1s(pk.b0_g1_bound)
+    return w.bytes()
+
+
+def read_pk(data: bytes, circuit) -> ProvingKey:
+    # VK is a prefix; parse it by replaying the reader
+    r = _R(data)
+    k = r.u32()
+    _deg = r.u32()
+    fixed_commitments = r.g1s()
+    permutation_commitments = r.g1s()
+    selectors = []
+    for _ in range(r.u32()):
+        n = r.u32()
+        selectors.append([b == 1 for b in r.b.read(n)])
+    static_committed = {}
+    for _ in range(r.u32()):
+        name = r.string()
+        static_committed[StaticTableId(name)] = StaticCommittedTable(
+            zv=r.g2(), t=r.g2(), x_b0_bound=r.g2(), size=r.u32())
+    cs = ConstraintSystem()
+    type(circuit).configure(cs)
+    cs.convert_selectors_to_fixed(selectors)
+    domain = EvaluationDomain(cs.degree(), k)
+    vk = VerifyingKey(domain, fixed_commitments, permutation_commitments,
+                      cs, selectors, static_committed)
+
+    l0 = r.scalars()
+    l_last = r.scalars()
+    l_active = r.scalars()
+
+    def group():
+        return [r.scalars() for _ in range(r.u32())]
+
+    fixed_values = group()
+    fixed_polys = group()
+    fixed_cosets = group()
+    sigma_lag = group()
+    sigma_polys = group()
+    sigma_cosets = group()
+
+    static_opened = {}
+    for _ in range(r.u32()):
+        name = r.string()
+        values = r.scalars()
+        qs = r.g1s()
+        t = StaticTableValues.__new__(StaticTableValues)
+        t.size = len(values)
+        t.values = values
+        mapping = {v: i for i, v in enumerate(values)}
+        t.value_index_mapping = mapping if len(mapping) == len(values) else None
+        t.qs = qs
+        static_opened[StaticTableId(name)] = t
+
+    configs = {}
+    for _ in range(r.u32()):
+        size = r.u32()
+        configs[size] = StaticTableConfig(size, r.g1s(), r.g1s())
+    b0 = r.g1s()
+
+    return ProvingKey(
+        vk=vk, l0=l0, l_last=l_last, l_active_row=l_active,
+        fixed_values=fixed_values, fixed_polys=fixed_polys,
+        fixed_cosets=fixed_cosets,
+        permutation=PermutationProvingKey(sigma_lag, sigma_polys, sigma_cosets),
+        static_table_mapping=static_opened,
+        static_table_configs=configs,
+        b0_g1_bound=b0,
+    )

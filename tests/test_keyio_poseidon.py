@@ -1,0 +1,69 @@
+"""Key serialization round trips (incl. static tables, which the reference
+drops — plonk.rs:161-163 TODO) and the Poseidon sponge."""
+import random
+
+from sha2cq_tpu.fields.host import FR_MOD
+from sha2cq_tpu.poseidon import Poseidon, hash_elements
+from sha2cq_tpu.utils import keyio
+from sha2cq_tpu.utils.transcript import Blake2bRead
+
+import tests.test_e2e_cq as E
+
+P = FR_MOD
+
+
+def test_vk_pk_roundtrip_with_static_tables():
+    from sha2cq_tpu.plonk import create_proof, keygen_pk, keygen_vk, verify_proof
+    from sha2cq_tpu.poly.kzg.strategy import AccumulatorStrategy
+
+    K = 3
+    rng, srs, t1, t2, params, configs, b0 = E._setup(K)
+    circuit = E.MyCircuit(t1, t2)
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, configs, b0, vk, circuit)
+
+    # params round trip
+    params2 = keyio.read_params(keyio.write_params(params))
+    assert params2.g == params.g and params2.s_g2 == params.s_g2
+
+    # vk round trip
+    vk2 = keyio.read_vk(keyio.write_vk(vk), circuit)
+    assert vk2.transcript_repr == vk.transcript_repr
+    assert vk2.fixed_commitments == vk.fixed_commitments
+    assert set(vk2.static_table_mapping) == set(vk.static_table_mapping)
+
+    # pk round trip: prove with the deserialized pk, verify with the
+    # deserialized vk over deserialized params
+    pk2 = keyio.read_pk(keyio.write_pk(pk), circuit)
+    proof = create_proof(params2, pk2, [circuit], [[]], rng=rng)
+    batcher = verify_proof(params2, vk2, AccumulatorStrategy(params2, rng=rng),
+                           [[]], Blake2bRead(proof))
+    assert batcher.check()
+
+
+def test_poseidon_permutation_properties():
+    p = Poseidon(t=3, r_f=8, r_p=57)
+    # deterministic
+    s1 = p.permute([1, 2, 3])
+    s2 = Poseidon(t=3, r_f=8, r_p=57).permute([1, 2, 3])
+    assert s1 == s2
+    # bijective-ish sanity: different inputs -> different outputs
+    assert p.permute([1, 2, 4]) != s1
+    # constants generated: first round constant is a canonical field element
+    assert 0 < p.constants[0][0] < P
+    # MDS is Cauchy => invertible: no zero rows/cols
+    assert all(any(v != 0 for v in row) for row in p.mds)
+
+
+def test_poseidon_sponge():
+    h1 = hash_elements([1, 2, 3, 4, 5])
+    h2 = hash_elements([1, 2, 3, 4, 5])
+    h3 = hash_elements([1, 2, 3, 4, 6])
+    assert h1 == h2 != h3
+    assert 0 < h1 < P
+
+    # incremental absorption equals one-shot
+    p = Poseidon()
+    p.update([1, 2])
+    p.update([3, 4, 5])
+    assert p.squeeze() == h1

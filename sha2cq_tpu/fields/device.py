@@ -76,27 +76,21 @@ FQ = FieldCtx.make(host.FQ_MOD, "Fq")
 
 def pack(values: Sequence[int], ctx: FieldCtx, mont: bool = True) -> jnp.ndarray:
     """ints -> uint32[16, n] device array (Montgomery form by default)."""
-    if mont:
-        values = [(v % ctx.p) * ctx.r % ctx.p for v in values]
-    arr = np.zeros((NLIMB, len(values)), dtype=np.uint32)
-    for j, v in enumerate(values):
-        for i in range(NLIMB):
-            arr[i, j] = (v >> (LIMB_BITS * i)) & MASK
-    return jnp.asarray(arr)
+    return jnp.asarray(np_pack(values, ctx, mont=mont))
 
 
 def unpack(arr, ctx: FieldCtx, mont: bool = True) -> list:
-    """uint32[16, *batch] -> list of ints (flattened batch, C order)."""
-    a = np.asarray(jax.device_get(arr)).astype(object)
-    a = a.reshape(NLIMB, -1)
-    out = []
-    rinv = pow(ctx.r, ctx.p - 2, ctx.p) if mont else 1
-    for j in range(a.shape[1]):
-        v = 0
-        for i in range(NLIMB):
-            v |= int(a[i, j]) << (LIMB_BITS * i)
-        out.append((v * rinv) % ctx.p if mont else v % ctx.p)
-    return out
+    """uint32[16, *batch] -> list of ints (flattened batch, C order).
+    Limb folding is vectorized over a numpy object array (Python-loop-free
+    up to the final modmul)."""
+    a = np.asarray(jax.device_get(arr)).reshape(NLIMB, -1)
+    acc = np.zeros(a.shape[1], dtype=object)
+    for i in range(NLIMB):
+        acc |= a[i].astype(object) << (LIMB_BITS * i)
+    if mont:
+        rinv = pow(ctx.r, ctx.p - 2, ctx.p)
+        return [(int(v) * rinv) % ctx.p for v in acc]
+    return [int(v) % ctx.p for v in acc]
 
 
 def pack_scalar(v: int, ctx: FieldCtx, mont: bool = True) -> jnp.ndarray:
@@ -307,11 +301,11 @@ def mul_scalar(a, scalar_limbs, ctx: FieldCtx = FR):
 
 
 def np_pack(values: Sequence[int], ctx: FieldCtx, mont: bool = True) -> np.ndarray:
-    """Like pack() but stays in numpy (for building constant tables)."""
+    """ints -> uint32[16, n] numpy array (vectorized object-array folding)."""
+    vals = np.array([v % ctx.p for v in values], dtype=object)
     if mont:
-        values = [(v % ctx.p) * ctx.r % ctx.p for v in values]
+        vals = (vals * ctx.r) % ctx.p
     arr = np.zeros((NLIMB, len(values)), dtype=np.uint32)
-    for j, v in enumerate(values):
-        for i in range(NLIMB):
-            arr[i, j] = (v >> (LIMB_BITS * i)) & MASK
+    for i in range(NLIMB):
+        arr[i] = ((vals >> (LIMB_BITS * i)) & MASK).astype(np.uint32)
     return arr

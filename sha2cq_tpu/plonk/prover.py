@@ -104,7 +104,7 @@ class _WitnessCollection:
 
 def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                  rng=None, transcript: Optional[Blake2bWrite] = None,
-                 multiopen: str = "gwc") -> bytes:
+                 multiopen: str = "gwc", h_device: bool = False) -> bytes:
     """instances: per-circuit list of per-column instance value lists."""
     rng = rng or _SystemRng()
     transcript = transcript or Blake2bWrite()
@@ -215,24 +215,55 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
     vanishing = vanishing_commit(params, domain, rng, transcript)
     y = transcript.squeeze_challenge()
 
-    advice_coeff = [
-        {"polys": [domain.lagrange_to_coeff_host(v) for v in adv["values"]]}
-        for adv in advice_singles
-    ]
-    advice_cosets = [
-        [domain.coeff_to_extended_host(p) for p in adv["polys"]]
-        for adv in advice_coeff
-    ]
-    instance_cosets = [
-        [domain.coeff_to_extended_host(p) for p in inst["polys"]]
-        for inst in instance_singles
-    ]
+    if h_device:
+        # TPU path: basis conversions + evaluate_h + quotient on device
+        from ..fields import device as Dv
+        from ..ops import ntt as _NTT  # noqa: F401 (twiddle cache warm)
+        from .device_eval import evaluate_h_device
+        from .vanishing import vanishing_construct_from_coeffs
 
-    h_values = evaluate_h(
-        pk, advice_cosets, instance_cosets, challenges_list, y, beta, gamma,
-        theta, lookups_committed, static_log, permutations)
+        advice_coeff = []
+        advice_cosets_dev = []
+        for adv in advice_singles:
+            coeffs_host = []
+            cosets = []
+            for v in adv["values"]:
+                lag = Dv.pack(v, Dv.FR)
+                coeff = domain.lagrange_to_coeff(lag)
+                coeffs_host.append(Dv.unpack(coeff, Dv.FR))
+                cosets.append(domain.coeff_to_extended(coeff))
+            advice_coeff.append({"polys": coeffs_host})
+            advice_cosets_dev.append(cosets)
+        instance_cosets_dev = [
+            [domain.coeff_to_extended(Dv.pack(p, Dv.FR)) for p in inst["polys"]]
+            for inst in instance_singles
+        ]
+        h_dev = evaluate_h_device(
+            pk, advice_cosets_dev, instance_cosets_dev, challenges_list, y,
+            beta, gamma, theta, lookups_committed, static_log, permutations)
+        h_dev = domain.divide_by_vanishing_poly(h_dev)
+        h_coeffs = Dv.unpack(domain.extended_to_coeff(h_dev), Dv.FR)
+        vanishing = vanishing_construct_from_coeffs(
+            vanishing, params, domain, h_coeffs, transcript)
+    else:
+        advice_coeff = [
+            {"polys": [domain.lagrange_to_coeff_host(v) for v in adv["values"]]}
+            for adv in advice_singles
+        ]
+        advice_cosets = [
+            [domain.coeff_to_extended_host(p) for p in adv["polys"]]
+            for adv in advice_coeff
+        ]
+        instance_cosets = [
+            [domain.coeff_to_extended_host(p) for p in inst["polys"]]
+            for inst in instance_singles
+        ]
 
-    vanishing = vanishing_construct(vanishing, params, domain, h_values, rng, transcript)
+        h_values = evaluate_h(
+            pk, advice_cosets, instance_cosets, challenges_list, y, beta, gamma,
+            theta, lookups_committed, static_log, permutations)
+
+        vanishing = vanishing_construct(vanishing, params, domain, h_values, rng, transcript)
 
     # ---- x; evals --------------------------------------------------------
     x = transcript.squeeze_challenge()

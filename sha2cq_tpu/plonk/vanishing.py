@@ -29,6 +29,12 @@ def vanishing_construct(committed: dict, params, domain, h_values: List[int],
                         rng, transcript) -> dict:
     h_values = domain.divide_by_vanishing_poly_host(h_values)
     h_coeffs = domain.extended_to_coeff_host(h_values)
+    return vanishing_construct_from_coeffs(committed, params, domain, h_coeffs,
+                                           transcript)
+
+
+def vanishing_construct_from_coeffs(committed: dict, params, domain,
+                                    h_coeffs: List[int], transcript) -> dict:
     n = domain.n
     h_pieces = [h_coeffs[i:i + n] for i in range(0, len(h_coeffs), n)]
     # quotient_poly_degree pieces expected

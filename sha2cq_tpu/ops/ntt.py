@@ -98,6 +98,31 @@ def intt(a: jnp.ndarray, omega_inv: int, k: int, divisor_inv: int) -> jnp.ndarra
     return D.mont_mul(out, d, FR)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def ntt_last_axis(a: jnp.ndarray, twiddles: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Radix-2 NTT along the last axis of a (16, ..., n) limb array —
+    the batched form used for whole-column-set basis conversions."""
+    n = 1 << k
+    perm = jnp.asarray(_bitrev_perm(k))
+    a = jnp.take(a, perm, axis=-1)
+    if n == 1:
+        return a
+    lead = a.shape[:-1]
+    for s in range(k):
+        half = 1 << s
+        blocks = n >> (s + 1)
+        stride = 1 << (k - 1 - s)
+        tw = twiddles[:, ::stride].reshape(
+            (NLIMB,) + (1,) * (a.ndim - 2) + (1, half))
+        v = a.reshape(*lead, blocks, 2, half)
+        top = v[..., 0, :]
+        bot = v[..., 1, :]
+        t = D.mont_mul(bot, tw, FR)
+        a = jnp.stack([D.add(top, t, FR), D.sub(top, t, FR)], axis=-2) \
+            .reshape(*lead, n)
+    return a
+
+
 # ----------------------------- host reference -------------------------------
 
 def ntt_host(values: list, omega: int, p: int) -> list:

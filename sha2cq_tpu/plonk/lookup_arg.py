@@ -100,6 +100,10 @@ def lookup_commit_product(permuted: dict, pk, params, beta, gamma, rng,
         "permuted_input_poly": permuted["permuted_input_poly"],
         "permuted_table_poly": permuted["permuted_table_poly"],
         "product_poly": domain.lagrange_to_coeff_host(z),
+        # Lagrange forms retained for the device h-path (one batched NTT)
+        "permuted_input": permuted["permuted_input"],
+        "permuted_table": permuted["permuted_table"],
+        "product_lagrange": z,
     }
 
 

@@ -216,33 +216,34 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
     y = transcript.squeeze_challenge()
 
     if h_device:
-        # TPU path: basis conversions + evaluate_h + quotient on device
+        # TPU path: ONE jitted dispatch covers every basis conversion, the
+        # h accumulation, the vanishing quotient and the return to coeffs
+        import jax.numpy as _jnp
         from ..fields import device as Dv
-        from ..ops import ntt as _NTT  # noqa: F401 (twiddle cache warm)
-        from .device_eval import evaluate_h_device
+        from .device_eval import get_h_fn, prepare_h_inputs
         from .vanishing import vanishing_construct_from_coeffs
 
+        # advice coeff polys (needed host-side for the x-evals/multiopen):
+        # one batched device NTT + one unpack
         advice_coeff = []
-        advice_cosets_dev = []
         for adv in advice_singles:
-            coeffs_host = []
-            cosets = []
-            for v in adv["values"]:
-                lag = Dv.pack(v, Dv.FR)
-                coeff = domain.lagrange_to_coeff(lag)
-                coeffs_host.append(Dv.unpack(coeff, Dv.FR))
-                cosets.append(domain.coeff_to_extended(coeff))
-            advice_coeff.append({"polys": coeffs_host})
-            advice_cosets_dev.append(cosets)
-        instance_cosets_dev = [
-            [domain.coeff_to_extended(Dv.pack(p, Dv.FR)) for p in inst["polys"]]
-            for inst in instance_singles
-        ]
-        h_dev = evaluate_h_device(
-            pk, advice_cosets_dev, instance_cosets_dev, challenges_list, y,
-            beta, gamma, theta, lookups_committed, static_log, permutations)
-        h_dev = domain.divide_by_vanishing_poly(h_dev)
-        h_coeffs = Dv.unpack(domain.extended_to_coeff(h_dev), Dv.FR)
+            if adv["values"]:
+                lag = _jnp.stack([Dv.pack(v, Dv.FR) for v in adv["values"]], axis=1)
+                coeff = domain.lagrange_to_coeff_batch(lag)
+                flat = Dv.unpack(coeff, Dv.FR)
+                ncols = len(adv["values"])
+                advice_coeff.append({"polys": [
+                    flat[i * n:(i + 1) * n] for i in range(ncols)]})
+            else:
+                advice_coeff.append({"polys": []})
+
+        h_fn = get_h_fn(pk)
+        inputs = prepare_h_inputs(
+            pk, [adv["values"] for adv in advice_singles],
+            [inst["values"] for inst in instance_singles],
+            challenges_list, y, beta, gamma, theta,
+            lookups_committed, static_log, permutations)
+        h_coeffs = Dv.unpack(h_fn(inputs), Dv.FR)
         vanishing = vanishing_construct_from_coeffs(
             vanishing, params, domain, h_coeffs, transcript)
     else:

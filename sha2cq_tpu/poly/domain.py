@@ -132,6 +132,19 @@ class EvaluationDomain:
         table = np.tile(D.np_pack(t, D.FR), reps)
         return D.mont_mul(values, jnp.asarray(table), D.FR)
 
+    def lagrange_to_coeff_batch(self, values: jnp.ndarray) -> jnp.ndarray:
+        """(16, C, n) -> coeff form, one fused call for all C columns."""
+        out = NTT.ntt_last_axis(values, NTT.twiddle_table(self.omega_inv, self.k), self.k)
+        return D.mont_mul(out, self._const(self.ifft_divisor)[:, None, :], D.FR)
+
+    def coeff_to_extended_batch(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """(16, C, n) -> extended coset evaluations (16, C, extended_n)."""
+        a = D.mont_mul(coeffs, self._zeta_pattern(self.n, True)[:, None, :], D.FR)
+        pad = jnp.zeros((D.NLIMB, a.shape[1], self.extended_n - self.n), dtype=D.U32)
+        a = jnp.concatenate([a, pad], axis=2)
+        return NTT.ntt_last_axis(
+            a, NTT.twiddle_table(self.extended_omega, self.extended_k), self.extended_k)
+
     def rotate_extended(self, values: jnp.ndarray, rotation: int) -> jnp.ndarray:
         shift = (1 << (self.extended_k - self.k)) * rotation
         return jnp.roll(values, -shift, axis=1)

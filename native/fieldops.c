@@ -248,20 +248,24 @@ void g1_scalar_mul(const u64 *point, const u64 *scalar, u64 *out) {
 }
 
 /* Pippenger MSM, window c = 8.  points: n * u64[12] (Jacobian canonical),
- * scalars: n * u64[4] canonical.  out: u64[12]. */
+ * scalars: n * u64[4] canonical.  out: u64[12].  Window sums run in
+ * parallel (OpenMP when available), then fold with a doubling chain. */
 void g1_msm(const u64 *points, const u64 *scalars, long n, u64 *out) {
     enum { C = 8, NBUCKET = 1 << C, NW = (256 + C - 1) / C };
-    static pt buckets[NBUCKET]; /* single-threaded use */
-    pt total;
-    pt_set_identity(&total);
+    pt wsum[NW];
 
     /* preload points into Montgomery form once */
     pt *pts = (pt *)__builtin_malloc(sizeof(pt) * (size_t)n);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
     for (long i = 0; i < n; i++) load_pt(&pts[i], points + 12 * i);
 
-    for (int w = NW - 1; w >= 0; w--) {
-        if (!pt_is_identity(&total))
-            for (int d = 0; d < C; d++) pt_double(&total, &total);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(dynamic, 1)
+    #endif
+    for (int w = 0; w < NW; w++) {
+        pt *buckets = (pt *)__builtin_malloc(sizeof(pt) * NBUCKET);
         for (int b = 0; b < NBUCKET; b++) pt_set_identity(&buckets[b]);
         for (long i = 0; i < n; i++) {
             int limb = (w * C) / 64;
@@ -279,7 +283,16 @@ void g1_msm(const u64 *points, const u64 *scalars, long n, u64 *out) {
             pt_add(&run, &run, &buckets[b]);
             pt_add(&acc, &acc, &run);
         }
-        pt_add(&total, &total, &acc);
+        wsum[w] = acc;
+        __builtin_free(buckets);
+    }
+
+    pt total;
+    pt_set_identity(&total);
+    for (int w = NW - 1; w >= 0; w--) {
+        if (!pt_is_identity(&total))
+            for (int d = 0; d < C; d++) pt_double(&total, &total);
+        pt_add(&total, &total, &wsum[w]);
     }
     __builtin_free(pts);
     store_pt(out, &total);

@@ -24,7 +24,7 @@ def _build() -> bool:
     os.makedirs(os.path.dirname(_LIB), exist_ok=True)
     try:
         subprocess.run(
-            ["cc", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            ["cc", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", _SRC, "-o", _LIB],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:

@@ -33,9 +33,12 @@ from ..fields import device as D
 from ..fields import host as H
 from ..fields.device import FQ, NLIMB, U32
 
-# Below this size the host (Jacobian int) Pippenger beats device dispatch;
-# the device path exists for TPU-scale MSMs (2^14+), where the VPU wins.
-HOST_THRESHOLD = 1 << 12
+# Below this size the host (native C / Jacobian int) Pippenger beats device
+# dispatch.  The scan-formulation device MSM is currently dispatch/fusion
+# bound (~100x off roofline — Pallas bucket kernel is the round-2 redesign),
+# so production commitments stay on the native path; call msm_device
+# explicitly to exercise/bench the TPU path.
+HOST_THRESHOLD = 1 << 20
 
 
 def pick_window_bits(n: int) -> int:

@@ -115,9 +115,12 @@ def const_array(ctx: FieldCtx, value: int, batch_shape=()) -> jnp.ndarray:
 
 
 def _pconst(ctx: FieldCtx, a):
-    """Modulus limbs broadcast against a's batch shape."""
-    shape = (NLIMB,) + (1,) * (a.ndim - 1)
-    return jnp.asarray(ctx.p_limbs, dtype=U32).reshape(shape)
+    """Modulus limbs broadcast against a's batch shape.  Built from scalar
+    constants (not a captured array) so the same code runs inside Pallas
+    kernels."""
+    shape = (1,) * (a.ndim - 1)
+    return jnp.stack([jnp.full(shape, np.uint32(int(x)), dtype=U32)
+                      for x in ctx.p_limbs])
 
 
 # ------------------------------ core kernels --------------------------------
@@ -232,7 +235,8 @@ def mont_mul(a, b, ctx: FieldCtx = FR):
         t = t.at[i + 1:i + NLIMB + 1].add(pij >> LIMB_BITS)
     # REDC: 16 digit steps
     n0 = np.uint32(ctx.n0)
-    pcol = jnp.asarray(ctx.p_limbs, dtype=U32).reshape((NLIMB,) + (1,) * len(batch))
+    pcol = jnp.stack([jnp.full((1,) * len(batch), np.uint32(int(x)), dtype=U32)
+                      for x in ctx.p_limbs])
     for i in range(NLIMB):
         m = (t[i] * n0) & MASK
         mp = m[None, ...] * pcol

@@ -71,3 +71,17 @@ def test_select_eq_iszero():
     assert list(D.eq(a, b)) == [True, True, False, False]
     sel = D.select(D.is_zero(a), b, a)
     assert D.unpack(sel, D.FR) == [0, 5, 1, 7]
+
+
+def test_pallas_mont_mul_fallback_and_correctness():
+    """pallas_mont_mul: exact vs the jnp kernel (on CPU this exercises the
+    transparent fallback; on TPU the Mosaic kernel itself)."""
+    import jax.numpy as jnp
+    from sha2cq_tpu.ops.pallas_field import pallas_mont_mul
+    p = H.FR_MOD
+    xs = _vectors(p, 64)
+    a = jnp.tile(D.pack(xs, D.FR), (1, 8))       # n = 512 = TILE
+    b = jnp.roll(a, 3, axis=1)
+    got = pallas_mont_mul(a, b)
+    exp = _mul_fr(a, b)
+    assert bool(jnp.all(got == exp))

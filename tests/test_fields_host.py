@@ -114,3 +114,19 @@ def test_batch_inv():
             assert i == 0
         else:
             assert (x * i) % F.FR_MOD == 1
+
+
+def test_generic_curve_secp256k1():
+    """Generic short-Weierstrass module covering the reference's secp256k1
+    crate (arithmetic/curves/src/secp256k1/)."""
+    from sha2cq_tpu.curves.generic import BN254_G1, Curve, secp256k1
+
+    g = secp256k1.P.generator
+    assert secp256k1.is_on_curve(g)
+    assert secp256k1.mul(g, secp256k1.P.order) is None
+    a, b = 123456789, 987654321
+    assert secp256k1.add(secp256k1.mul(g, a), secp256k1.mul(g, b)) == \
+        secp256k1.mul(g, a + b)
+    # cross-check the generic path against the specialized BN254 host code
+    bn = Curve(BN254_G1)
+    assert bn.mul(bn.P.generator, 12345) == C.g1_mul(C.G1_GEN, 12345)

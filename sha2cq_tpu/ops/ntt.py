@@ -49,11 +49,16 @@ def powers_host(base: int, n: int, p: int) -> list:
 
 @functools.lru_cache(maxsize=64)
 def twiddle_table(omega: int, k: int, p_name: str = "Fr") -> jnp.ndarray:
-    """(16, n//2) Montgomery-form table of omega^i, i < n/2."""
+    """(16, n//2) Montgomery-form table of omega^i, i < n/2.
+
+    ensure_compile_time_eval: this cache may first fire inside a jit trace
+    (e.g. the prover's fused h_fn); without it the cache would capture a
+    tracer and poison later eager calls."""
     ctx = FR if p_name == "Fr" else D.FQ
     n = 1 << k
     vals = powers_host(omega % ctx.p, max(n // 2, 1), ctx.p)
-    return jnp.asarray(D.np_pack(vals, ctx))
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(D.np_pack(vals, ctx))
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

@@ -151,9 +151,11 @@ class EvaluationDomain:
 
     @functools.lru_cache(maxsize=8)
     def _zeta_pattern(self, n: int, into: bool) -> jnp.ndarray:
+        import jax
         c1, c2 = (self.g_coset, self.g_coset_inv) if into else (self.g_coset_inv, self.g_coset)
         reps = [1, c1, c2] * (n // 3 + 1)
-        return jnp.asarray(D.np_pack(reps[:n], D.FR))
+        with jax.ensure_compile_time_eval():  # cache-safe inside jit traces
+            return jnp.asarray(D.np_pack(reps[:n], D.FR))
 
     def _const(self, v: int) -> jnp.ndarray:
         return D.pack_scalar(v, D.FR).reshape(D.NLIMB, 1)

@@ -8,13 +8,25 @@ layer is an accelerator, never a requirement.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import List, Optional
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_HERE, "native", "fieldops.c")
-_LIB = os.path.join(_HERE, "native", "build", "libfieldops.so")
+
+
+def _lib_path() -> str:
+    """Binary name keyed by a hash of the C source: a stale build (or a
+    checked-in artifact from a clone, where git does not preserve mtimes)
+    can never shadow a changed fieldops.c."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_HERE, "native", "build", f"libfieldops-{digest}.so")
+
+
+_LIB = _lib_path()
 
 _lib = None
 _tried = False
@@ -38,7 +50,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _tried:
         return None
     _tried = True
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    if not os.path.exists(_LIB):
         if not _build():
             return None
     try:

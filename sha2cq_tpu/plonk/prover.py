@@ -24,6 +24,7 @@ from ..circuit import SimpleFloorPlanner, Value
 from ..fields.host import FR_MOD
 from ..poly import arith as A
 from ..poly.kzg.gwc import ProverQuery, gwc_create_proof
+from ..utils.profiling import profiler
 from ..utils.transcript import Blake2bWrite
 from .circuit_ir import Column, ConstraintSystem, Selector, StaticTableId
 from .evaluation import evaluate_h
@@ -117,6 +118,7 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
         if len(inst) != cs.num_instance_columns:
             raise ValueError("InvalidInstances")
 
+    mark = profiler.marker("create_proof")
     pk.vk.hash_into(transcript)
 
     # instance values -> lagrange + coeff polys
@@ -166,6 +168,7 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                     challenges[ch_idx] = transcript.squeeze_challenge()
         advice_singles.append({"values": advice_polys})
 
+    mark("witness_and_advice_commit")
     challenges_list = [challenges[i] for i in range(cs.num_challenges)]
 
     # ---- theta; lookups + CQ commit ------------------------------------
@@ -180,6 +183,7 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
             for arg in cs.lookups
         ])
 
+    mark("lookup_permute")
     static_committed = []
     for inst_single, adv in zip(instance_singles, advice_singles):
         static_committed.append([
@@ -189,6 +193,7 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
             for arg in cs.static_lookups
         ])
 
+    mark("cq_commit_f_m")
     # ---- beta, gamma; permutations; products; CQ log derivatives --------
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
@@ -199,18 +204,21 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
             pk, params, adv["values"], pk.fixed_values, inst_single["values"],
             beta, gamma, rng, transcript))
 
+    mark("permutation_grand_products")
     lookups_committed = [
         [lookup_commit_product(pm, pk, params, beta, gamma, rng, transcript)
          for pm in per_circuit]
         for per_circuit in lookups_permuted
     ]
 
+    mark("lookup_grand_products")
     static_log = [
         [static_lookup_commit_log_derivatives(c, pk, params, domain, beta, theta, transcript)
          for c in per_circuit]
         for per_circuit in static_committed
     ]
 
+    mark("cq_log_derivatives")
     # ---- vanishing + y + h ----------------------------------------------
     vanishing = vanishing_commit(params, domain, rng, transcript)
     y = transcript.squeeze_challenge()
@@ -266,6 +274,7 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
 
         vanishing = vanishing_construct(vanishing, params, domain, h_values, rng, transcript)
 
+    mark("h_eval_and_commit")
     # ---- x; evals --------------------------------------------------------
     x = transcript.squeeze_challenge()
     xn = pow(x, n, P)
@@ -289,6 +298,7 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
         for sl in per_circuit:
             static_lookup_evaluate(sl, x, transcript)
 
+    mark("point_evals")
     # ---- multiopen -------------------------------------------------------
     queries: List[ProverQuery] = []
     for adv, inst_single, perm, lks, sls in zip(
@@ -314,4 +324,5 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
         shplonk_create_proof(params, queries, transcript)
     else:
         raise ValueError(f"unknown multiopen scheme {multiopen!r}")
+    mark("multiopen")
     return transcript.finalize()

@@ -29,8 +29,15 @@ def _eval_vanishing(roots: Sequence[int], u: int) -> int:
 
 
 def _commitment_key(c):
-    if isinstance(c, tuple):
-        return ("pt", c)
+    """Group queries by *object identity*, mirroring the reference's pointer
+    identity on both prover and verifier (query.rs CommitmentReference).
+
+    Both sides reuse one object per logical column across its opening points
+    (e.g. ``ev["product_commitment"]`` at x and ωx), so identity groups
+    multi-point openings correctly while two distinct columns that happen to
+    share a commitment *value* (duplicate fixed columns) stay separate on both
+    sides — keying by value merged them only on the verifier side, making
+    honest proofs fail to verify."""
     return ("obj", id(c))
 
 

@@ -78,13 +78,22 @@ def g1_to_raw_bytes(pt: G1Affine) -> bytes:
     return fq_to_bytes(pt[0]) + fq_to_bytes(pt[1])
 
 
-def g1_from_raw_bytes(b: bytes) -> G1Affine:
+def g1_from_raw_bytes(b: bytes, check: bool = True) -> G1Affine:
+    """Uncompressed read.  With check=True (default) the point is validated
+    on-curve, like the reference's SerdeObject::read_raw — a corrupted key
+    file fails loudly instead of yielding undefined verifier behavior.
+    (G1 has cofactor 1 on BN254, so on-curve implies subgroup membership.)"""
     assert len(b) == 64
     x = fq_from_bytes(b[:32])
     y = fq_from_bytes(b[32:])
     if x == 0 and y == 0:
         return None
-    return (x, y)
+    pt = (x, y)
+    if check:
+        from ..curves.host import g1_is_on_curve
+        if not g1_is_on_curve(pt):
+            raise ValueError("G1 point not on curve")
+    return pt
 
 
 def g2_to_raw_bytes(pt) -> bytes:
@@ -94,9 +103,23 @@ def g2_to_raw_bytes(pt) -> bytes:
     return b"".join(fq_to_bytes(c) for c in (x0, x1, y0, y1))
 
 
-def g2_from_raw_bytes(b: bytes):
+def g2_from_raw_bytes(b: bytes, check: bool = True, subgroup_check: bool = False):
+    """Uncompressed read with optional validation.  check=True validates
+    on-curve (cheap, always safe).  subgroup_check=True additionally verifies
+    r-torsion membership by scalar multiplication — BN254 G2 has a nontrivial
+    cofactor, so an on-curve point may still lie outside the subgroup; keyio
+    enables this for the handful of per-key G2 points (not bulk SRS lists)."""
     assert len(b) == 128
     c = [fq_from_bytes(b[i * 32:(i + 1) * 32]) for i in range(4)]
     if all(v == 0 for v in c):
         return None
-    return ((c[0], c[1]), (c[2], c[3]))
+    pt = ((c[0], c[1]), (c[2], c[3]))
+    if check:
+        from ..curves.host import g2_is_on_curve
+        if not g2_is_on_curve(pt):
+            raise ValueError("G2 point not on curve")
+    if subgroup_check:
+        from ..curves.host import g2_mul
+        if g2_mul(pt, FR_MOD) is not None:
+            raise ValueError("G2 point not in the r-torsion subgroup")
+    return pt

@@ -1,0 +1,316 @@
+"""NTT on the MXU: DFT-as-int8-matmul over digit-decomposed field elements.
+
+Why: the TPU VPU has no native 32-bit integer multiply — XLA emulates it at
+a few Gop/s, which caps the butterfly NTT (ops/ntt.py) at tens of ms for
+2^18.  The MXU, however, multiplies int8 matrices at Tmac/s rates.  This
+module reformulates the radix-512 four-step NTT so that all multiply work
+lands on the systolic array:
+
+  * A size-m DFT (m <= 512) of field elements is ONE int8 matmul:
+    every twiddle W[i,j] = omega^{ij} is pre-expanded into the 32 byte-digits
+    of (W[i,j] * 2^{8b} mod p) for each input-digit position b — i.e. the
+    mod-p reduction of digit cross-products is folded into the constant
+    matrix.  The (32m x 32m) int8 matrix times the (32m x B) int8 digit
+    matrix of the inputs yields 32 int32 output digit-planes directly
+    (exact: |acc| <= 255*255*32*512 < 2^31).
+  * int8 is signed, digits are unsigned bytes: both sides are stored
+    offset by -128 and the exact correction  sum(m'x') + 128*rowsum(M') +
+    128*colsum(X') + 128^2*K  is added back (all precomputed or O(B)).
+  * The digit-planes are regrouped into 16-bit limbs on the VPU with a
+    carry sweep; limbs beyond 2^256 are folded with precomputed
+    2^{256+16i} mod p constants.  Intermediate values stay in a relaxed
+    (< 2^256, possibly >= p) representation — only the final output is
+    canonicalized — so the per-element VPU epilogue is ~10x cheaper than a
+    Montgomery multiply.
+  * Sizes beyond 512 use the four-step split n = m1*512 recursively:
+    local DFTs via the shared canonical W_512 matrix (the order-512 root
+    derived from any standard 2^k domain is the same, so one matrix serves
+    every k), a single elementwise twiddle Montgomery multiply, and a
+    transposed second pass.
+  * The (32m x 32m) matrices are ~268 MB; they are passed through the jit
+    boundary as ARGUMENTS (a NttPlan pytree), never closure-captured — the
+    axon remote-compile path rejects computations with huge embedded
+    constants (HTTP 413).
+
+Semantics match ops/ntt.ntt == the reference best_fft
+(halo2_proofs/src/arithmetic.rs:171-274): natural-order coefficients in,
+natural-order evaluations at omega^0..omega^{n-1} out, Montgomery limb
+format (16 x 16-bit) throughout.
+"""
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import device as D
+from ..fields import host as H
+from ..fields.device import FR, LIMB_BITS, MASK, NLIMB, U32
+
+NDIG = 32            # 8-bit digits per 256-bit element
+MAX_MATMUL = 512     # largest DFT done as a single matmul
+
+_CACHE_DIR = os.path.join(
+    os.path.expanduser(os.environ.get("SHA2CQ_CACHE", "~/.cache/sha2cq_jax")),
+    "mxu_ntt")
+
+
+class NttPlan(NamedTuple):
+    """Device arrays for one (n, omega) NTT, passed through jit as args."""
+    base_mat: jnp.ndarray       # (32*m2, 32*m2) int8 — shared inner DFT
+    base_rowsum: jnp.ndarray    # (32*m2,) int32
+    res_mat: jnp.ndarray        # residual outer DFT matrix
+    res_rowsum: jnp.ndarray
+    twiddles: Tuple[jnp.ndarray, ...]   # per level: (16, m2, m1) Montgomery
+
+
+# ------------------------- host-side precomputation --------------------------
+
+def _dft_digit_matrix_np(m: int, omega: int, p: int):
+    """(32m, 32m) int8 digit matrix + (32m,) int32 row sums for the size-m DFT.
+
+    Entry [(s, i), (j, b)] = byte_s(omega^{ij} * 2^{8b} mod p) - 128.
+    Cached on disk: the m=512 build costs ~20s of host bigint work.
+    """
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    tag = f"w{m}_{omega % p:x}_{p:x}"
+    path = os.path.join(_CACHE_DIR, hashlib.sha256(tag.encode()).hexdigest()[:24] + ".npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return z["mat"], z["rowsum"]
+
+    w_pows = np.empty(m, dtype=object)   # omega^j
+    cur = 1
+    for j in range(m):
+        w_pows[j] = cur
+        cur = cur * omega % p
+    mat = np.empty((NDIG * m, m * NDIG), dtype=np.int8)
+    row = np.ones(m, dtype=object)       # W[i, :] for current i
+    buf = np.empty((m, NDIG, NDIG), dtype=np.uint8)  # [j, b, s] digits
+    for i in range(m):
+        v = row.copy()                   # = W[i,:] * 2^{8b}, b ascending
+        for b in range(NDIG):
+            for j in range(m):
+                buf[j, b] = np.frombuffer(
+                    int(v[j]).to_bytes(NDIG, "little"), dtype=np.uint8)
+            if b < NDIG - 1:
+                v = (v << 8) % p
+        # mat[(s, i), (j, b)] = buf[j, b, s] - 128
+        mat[i::m, :] = (buf.transpose(2, 0, 1).reshape(NDIG, m * NDIG)
+                        .astype(np.int16) - 128).astype(np.int8)
+        row = row * w_pows % p
+    rowsum = mat.astype(np.int32).sum(axis=1)
+    np.savez(path, mat=mat, rowsum=rowsum)
+    return mat, rowsum
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_digit_matrix(m: int, omega: int, p_name: str):
+    ctx = FR if p_name == "Fr" else D.FQ
+    mat, rowsum = _dft_digit_matrix_np(m, omega % ctx.p, ctx.p)
+    return jnp.asarray(mat), jnp.asarray(rowsum)
+
+
+@functools.lru_cache(maxsize=32)
+def _twiddle_tensor(omega: int, m2: int, m1: int, p_name: str):
+    """(16, m2, m1) Montgomery-form T[k2, t1] = omega^{k2*t1}."""
+    ctx = FR if p_name == "Fr" else D.FQ
+    p = ctx.p
+    w_t1 = np.empty(m1, dtype=object)
+    cur = 1
+    for j in range(m1):
+        w_t1[j] = cur
+        cur = cur * (omega % p) % p
+    rows = np.empty((m2, m1), dtype=object)
+    row = np.ones(m1, dtype=object)
+    for k2 in range(m2):
+        rows[k2] = row
+        row = row * w_t1 % p
+    packed = D.np_pack([int(x) for x in rows.reshape(-1)], ctx)
+    return jnp.asarray(packed.reshape(NLIMB, m2, m1))
+
+
+@functools.lru_cache(maxsize=64)
+def get_plan(n: int, omega: int, p_name: str = "Fr",
+             max_m: int = MAX_MATMUL) -> NttPlan:
+    """Build (and cache) the device-array plan for a size-n NTT at omega."""
+    ctx = FR if p_name == "Fr" else D.FQ
+    omega %= ctx.p
+    twiddles: List[jnp.ndarray] = []
+    m, w = n, omega
+    base = None
+    while m > max_m:
+        m2 = max_m
+        m1 = m // m2
+        if base is None:
+            base = _dft_digit_matrix(m2, pow(w, m1, ctx.p), ctx.name)
+        twiddles.append(_twiddle_tensor(w, m2, m1, ctx.name))
+        m, w = m1, pow(w, m2, ctx.p)
+    res = _dft_digit_matrix(m, w, ctx.name)
+    if base is None:
+        base = res
+    return NttPlan(base_mat=base[0], base_rowsum=base[1],
+                   res_mat=res[0], res_rowsum=res[1],
+                   twiddles=tuple(twiddles))
+
+
+@functools.lru_cache(maxsize=8)
+def _fold_consts(p_name: str):
+    """Fold constants as numpy limb arrays:
+    byte-position constants 2^{8q} mod p for q = 32, 33, 34, plus
+    R = 2^256 mod p (for excess-limb folding)."""
+    ctx = FR if p_name == "Fr" else D.FQ
+    bytes_k = []
+    for q in (32, 33, 34):
+        v = (1 << (8 * q)) % ctx.p
+        bytes_k.append(np.array(
+            [(v >> (LIMB_BITS * j)) & MASK for j in range(NLIMB)], dtype=np.uint32))
+    r = np.array([(ctx.r >> (LIMB_BITS * j)) & MASK for j in range(NLIMB)],
+                 dtype=np.uint32)
+    return np.stack(bytes_k), r
+
+
+# ------------------------------ device kernels -------------------------------
+
+def _to_digit_cols(a: jnp.ndarray) -> jnp.ndarray:
+    """(16, m, B) uint32 limbs -> (m*32, B) int8 digit columns, offset -128."""
+    m, B = a.shape[1], a.shape[2]
+    lo = a & 0xFF
+    hi = (a >> 8) & 0xFF
+    dig = jnp.stack([lo, hi], axis=1).reshape(NDIG, m, B)   # digit index 2l+h
+    dig = jnp.transpose(dig, (1, 0, 2)).reshape(m * NDIG, B)
+    return (dig.astype(jnp.int32) - 128).astype(jnp.int8)
+
+
+def _sweep(cols):
+    """Carry-propagate a 16-column list; returns (canonical limbs, excess)."""
+    out = []
+    carry = jnp.zeros_like(cols[0])
+    for j in range(NLIMB):
+        v = cols[j] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return out, carry
+
+
+def _planes_to_limbs(O: jnp.ndarray, ctx) -> jnp.ndarray:
+    """(32, m, B) nonneg int32 digit planes -> (16, m, B) uint32 limbs.
+
+    Result is the exact value mod p in a relaxed representation: 16 canonical
+    16-bit limbs, value < 2^256 (possibly >= p).  Callers needing canonical
+    form multiply by Montgomery-one (_canonicalize).
+
+    Overflow discipline (all arithmetic in uint32):
+      byte columns C_q < 4*255; limb columns < 2^19; every multiplier in a
+      fold is < 2^16 so 16x16-bit products are exact; the 2^256-excess after
+      each sweep shrinks ~2^4x per fold round because R = 2^256 mod p has a
+      small top limb (~2^12), and the last two rounds handle excess <= 1
+      exactly (adding R < 2^252 to a value < 2^256 can carry at most once,
+      and after a carry the residual is < R, so one further round ends with
+      zero excess)."""
+    Ou = O.astype(U32)
+    m, B = O.shape[1], O.shape[2]
+    # byte-split: contributions to byte position q = plane + u
+    C = jnp.zeros((NDIG + 4, m, B), dtype=U32)
+    for u in range(4):
+        C = C.at[u:u + NDIG].add((Ou >> (8 * u)) & 0xFF)
+    # 16-bit limb columns from byte pairs (q < 32 only)
+    cols = [C[2 * t] + (C[2 * t + 1] << 8) for t in range(NLIMB)]  # < 2^18
+    # fold high byte positions q = 32, 33, 34 (values < 2^10: products exact)
+    Kq, Kr = _fold_consts(ctx.name)
+    excess = jnp.zeros_like(cols[0])
+    for qi in range(3):
+        h = C[NDIG + qi]
+        for j in range(NLIMB):
+            prod = h * np.uint32(int(Kq[qi, j]))
+            cols[j] = cols[j] + (prod & MASK)
+            if j + 1 < NLIMB:
+                cols[j + 1] = cols[j + 1] + (prod >> LIMB_BITS)
+            else:
+                excess = excess + (prod >> LIMB_BITS)
+    limbs, carry = _sweep(cols)
+    excess = excess + carry                    # < ~2^13
+    # fold rounds: excess*2^256 == excess*R (mod p); excess < 2^16 throughout
+    for _ in range(5):
+        cols = list(limbs)
+        for j in range(NLIMB):
+            prod = excess * np.uint32(int(Kr[j]))
+            cols[j] = cols[j] + (prod & MASK)
+            if j + 1 < NLIMB:
+                cols[j + 1] = cols[j + 1] + (prod >> LIMB_BITS)
+            else:
+                nxt = prod >> LIMB_BITS
+        limbs, carry = _sweep(cols)
+        excess = nxt + carry
+    return jnp.stack(limbs).astype(U32)
+
+
+def _canonicalize(a: jnp.ndarray, ctx) -> jnp.ndarray:
+    """Relaxed (< 2^256) -> canonical (< p), preserving Montgomery form:
+    mont_mul by R (Montgomery one) = a mod p."""
+    r = jnp.asarray(ctx.r_limbs, dtype=U32).reshape((NLIMB,) + (1,) * (a.ndim - 1))
+    return D.mont_mul(a, r, ctx)
+
+
+def _dft_matmul(a: jnp.ndarray, mat: jnp.ndarray, rowsum: jnp.ndarray,
+                ctx) -> jnp.ndarray:
+    """Single-matmul DFT over axis 1 of (16, m, B); output relaxed limbs."""
+    m, B = a.shape[1], a.shape[2]
+    XB = _to_digit_cols(a)                           # (32m, B) int8
+    S_x = jnp.sum(XB.astype(jnp.int32), axis=0)      # (B,)
+    MM = jax.lax.dot_general(mat, XB, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    K = m * NDIG
+    O = MM + 128 * rowsum[:, None] + 128 * S_x[None, :] + 128 * 128 * K
+    return _planes_to_limbs(O.reshape(NDIG, m, B), ctx)
+
+
+def _dft_axis1(a: jnp.ndarray, plan: NttPlan, level: int, ctx,
+               max_m: int) -> jnp.ndarray:
+    """DFT over axis 1 (size m) of a (16, m, B) limb array; relaxed output.
+    level indexes plan.twiddles; the last level uses the residual matrix."""
+    m, B = a.shape[1], a.shape[2]
+    if level == len(plan.twiddles):
+        return _dft_matmul(a, plan.res_mat, plan.res_rowsum, ctx)
+    m2 = max_m
+    m1 = m // m2
+    # t = t1 + m1*t2  ->  axes [t2, t1]
+    a = a.reshape(NLIMB, m2, m1 * B)
+    f = _dft_matmul(a, plan.base_mat, plan.base_rowsum, ctx)  # [k2, t1]
+    f = f.reshape(NLIMB, m2, m1, B)
+    tw = plan.twiddles[level][..., None]                      # (16, m2, m1, 1)
+    f = D.mont_mul(f, tw, ctx)                                # canonical < p
+    f = jnp.transpose(f, (0, 2, 1, 3)).reshape(NLIMB, m1, m2 * B)
+    g = _dft_axis1(f, plan, level + 1, ctx, max_m)            # [k1, (k2, B)]
+    return g.reshape(NLIMB, m1 * m2, B)                       # k = k1*m2 + k2
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _mxu_ntt_jit(a: jnp.ndarray, plan: NttPlan, max_m: int,
+                 p_name: str) -> jnp.ndarray:
+    ctx = FR if p_name == "Fr" else D.FQ
+    n = a.shape[1]
+    out = _dft_axis1(a.reshape(NLIMB, n, 1), plan, 0, ctx, max_m)
+    return _canonicalize(out.reshape(NLIMB, n), ctx)
+
+
+def mxu_ntt(a: jnp.ndarray, omega: int, k: int, max_m: int = MAX_MATMUL,
+            ctx=FR) -> jnp.ndarray:
+    """Forward NTT of a (16, n) Montgomery-limb array: coeffs -> evals in
+    natural order (same contract as ops/ntt.ntt)."""
+    plan = get_plan(1 << k, omega % ctx.p, ctx.name, max_m)
+    return _mxu_ntt_jit(a, plan, max_m, ctx.name)
+
+
+def mxu_intt(a: jnp.ndarray, omega_inv: int, k: int, divisor_inv: int,
+             max_m: int = MAX_MATMUL, ctx=FR) -> jnp.ndarray:
+    """Inverse NTT: evals -> coeffs scaled by divisor_inv (= 1/n)."""
+    plan = get_plan(1 << k, omega_inv % ctx.p, ctx.name, max_m)
+    out = _mxu_ntt_jit(a, plan, max_m, ctx.name)
+    d = D.pack_scalar(divisor_inv, ctx).reshape(NLIMB, 1)
+    return D.mont_mul(out, d, ctx)

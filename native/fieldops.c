@@ -298,9 +298,335 @@ void g1_msm(const u64 *points, const u64 *scalars, long n, u64 *out) {
     store_pt(out, &total);
 }
 
+/* 4-bit fixed-window scalar mul on Montgomery-form points (internal). */
+static void pt_scalar_mul_w4(pt *out, const pt *base, const u64 *scalar) {
+    pt table[16];
+    pt_set_identity(&table[0]);
+    table[1] = *base;
+    for (int i = 2; i < 16; i++) pt_add(&table[i], &table[i - 1], base);
+    pt acc;
+    pt_set_identity(&acc);
+    int top = 3;
+    while (top >= 0 && scalar[top] == 0) top--;
+    if (top < 0) { *out = acc; return; }
+    int started = 0;
+    for (int i = top; i >= 0; i--) {
+        for (int nib = 15; nib >= 0; nib--) {
+            unsigned d = (unsigned)((scalar[i] >> (4 * nib)) & 0xF);
+            if (started) {
+                pt_double(&acc, &acc);
+                pt_double(&acc, &acc);
+                pt_double(&acc, &acc);
+                pt_double(&acc, &acc);
+            }
+            if (d) { pt_add(&acc, &acc, &table[d]); started = 1; }
+            else if (!started) continue;
+        }
+    }
+    *out = acc;
+}
+
 /* batch scalar-mul: out[i] = scalar[i] * point[i] (for SRS power chains,
- * FK pointwise products, Lagrange basis construction) */
+ * FK pointwise products, Lagrange basis construction); OpenMP-parallel
+ * with windowed muls. */
 void g1_batch_scalar_mul(const u64 *points, const u64 *scalars, long n, u64 *out) {
-    for (long i = 0; i < n; i++)
-        g1_scalar_mul(points + 12 * i, scalars + 4 * i, out + 12 * i);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(dynamic, 16)
+    #endif
+    for (long i = 0; i < n; i++) {
+        pt p, r;
+        load_pt(&p, points + 12 * i);
+        pt_scalar_mul_w4(&r, &p, scalars + 4 * i);
+        store_pt(out + 12 * i, &r);
+    }
+}
+
+/* ------------------------------- G2 (Fq2) ---------------------------------
+ * Fq2 = Fq[u]/(u^2+1); G2 Jacobian points over Fq2.  Needed natively because
+ * the CQ TableSRS carries an N-long G2 power list and each table's
+ * [T(x)]_2 commitment is a size-N G2 MSM (poly/kzg/commitment.rs:42-47,
+ * static_lookup.rs:128-157) — Python G2 muls are ~10 ms each, minutes per
+ * 2^16 table. */
+typedef struct { fq c0, c1; } fq2;
+
+static void fq2_add(fq2 *r, const fq2 *a, const fq2 *b) {
+    fq_add(&r->c0, &a->c0, &b->c0);
+    fq_add(&r->c1, &a->c1, &b->c1);
+}
+
+static void fq2_sub(fq2 *r, const fq2 *a, const fq2 *b) {
+    fq_sub(&r->c0, &a->c0, &b->c0);
+    fq_sub(&r->c1, &a->c1, &b->c1);
+}
+
+static void fq2_dbl(fq2 *r, const fq2 *a) { fq2_add(r, a, a); }
+
+static void fq2_mul(fq2 *r, const fq2 *a, const fq2 *b) {
+    /* Karatsuba: (a0+a1 u)(b0+b1 u) = a0b0 - a1b1 + ((a0+a1)(b0+b1)-a0b0-a1b1) u */
+    fq t0, t1, t2, t3;
+    fq_mul(&t0, &a->c0, &b->c0);
+    fq_mul(&t1, &a->c1, &b->c1);
+    fq_add(&t2, &a->c0, &a->c1);
+    fq_add(&t3, &b->c0, &b->c1);
+    fq_mul(&t2, &t2, &t3);
+    fq2 out;
+    fq_sub(&out.c0, &t0, &t1);
+    fq_sub(&t2, &t2, &t0);
+    fq_sub(&out.c1, &t2, &t1);
+    *r = out;
+}
+
+static int fq2_is_zero(const fq2 *a) {
+    return fq_is_zero(&a->c0) && fq_is_zero(&a->c1);
+}
+
+typedef struct { fq2 x, y, z; } pt2;
+
+static void pt2_set_identity(pt2 *p) {
+    memset(p, 0, sizeof *p);
+    memcpy(p->x.c0.v, RMODQ, sizeof RMODQ);
+    memcpy(p->y.c0.v, RMODQ, sizeof RMODQ);
+}
+
+static int pt2_is_identity(const pt2 *p) { return fq2_is_zero(&p->z); }
+
+static void pt2_double(pt2 *r, const pt2 *p) {
+    if (pt2_is_identity(p)) { *r = *p; return; }
+    fq2 A, B, C, D, E, F, t, t2;
+    fq2_mul(&A, &p->x, &p->x);
+    fq2_mul(&B, &p->y, &p->y);
+    fq2_mul(&C, &B, &B);
+    fq2_add(&t, &p->x, &B);
+    fq2_mul(&t, &t, &t);
+    fq2_sub(&t, &t, &A);
+    fq2_sub(&t, &t, &C);
+    fq2_dbl(&D, &t);
+    fq2_dbl(&E, &A);
+    fq2_add(&E, &E, &A);
+    fq2_mul(&F, &E, &E);
+    pt2 out;
+    fq2_dbl(&t, &D);
+    fq2_sub(&out.x, &F, &t);
+    fq2_sub(&t, &D, &out.x);
+    fq2_mul(&t, &E, &t);
+    fq2_dbl(&t2, &C); fq2_dbl(&t2, &t2); fq2_dbl(&t2, &t2);
+    fq2_sub(&out.y, &t, &t2);
+    fq2_mul(&t, &p->y, &p->z);
+    fq2_dbl(&out.z, &t);
+    *r = out;
+}
+
+static void pt2_add(pt2 *r, const pt2 *p, const pt2 *q) {
+    if (pt2_is_identity(p)) { *r = *q; return; }
+    if (pt2_is_identity(q)) { *r = *p; return; }
+    fq2 z1z1, z2z2, u1, u2, s1, s2, t;
+    fq2_mul(&z1z1, &p->z, &p->z);
+    fq2_mul(&z2z2, &q->z, &q->z);
+    fq2_mul(&u1, &p->x, &z2z2);
+    fq2_mul(&u2, &q->x, &z1z1);
+    fq2_mul(&t, &q->z, &z2z2);
+    fq2_mul(&s1, &p->y, &t);
+    fq2_mul(&t, &p->z, &z1z1);
+    fq2_mul(&s2, &q->y, &t);
+    fq2 h, rr;
+    fq2_sub(&h, &u2, &u1);
+    fq2_sub(&rr, &s2, &s1);
+    if (fq2_is_zero(&h)) {
+        if (fq2_is_zero(&rr)) { pt2_double(r, p); return; }
+        pt2_set_identity(r);
+        return;
+    }
+    fq2 hh, hhh, v;
+    fq2_mul(&hh, &h, &h);
+    fq2_mul(&hhh, &h, &hh);
+    fq2_mul(&v, &u1, &hh);
+    pt2 out;
+    fq2_mul(&t, &rr, &rr);
+    fq2_sub(&t, &t, &hhh);
+    fq2 tv;
+    fq2_dbl(&tv, &v);
+    fq2_sub(&out.x, &t, &tv);
+    fq2_sub(&t, &v, &out.x);
+    fq2_mul(&t, &rr, &t);
+    fq2 tu;
+    fq2_mul(&tu, &s1, &hhh);
+    fq2_sub(&out.y, &t, &tu);
+    fq2_mul(&t, &p->z, &q->z);
+    fq2_mul(&out.z, &t, &h);
+    *r = out;
+}
+
+static void pt2_scalar_mul_w4(pt2 *out, const pt2 *base, const u64 *scalar) {
+    pt2 table[16];
+    pt2_set_identity(&table[0]);
+    table[1] = *base;
+    for (int i = 2; i < 16; i++) pt2_add(&table[i], &table[i - 1], base);
+    pt2 acc;
+    pt2_set_identity(&acc);
+    int top = 3;
+    while (top >= 0 && scalar[top] == 0) top--;
+    if (top < 0) { *out = acc; return; }
+    int started = 0;
+    for (int i = top; i >= 0; i--) {
+        for (int nib = 15; nib >= 0; nib--) {
+            unsigned d = (unsigned)((scalar[i] >> (4 * nib)) & 0xF);
+            if (started) {
+                pt2_double(&acc, &acc);
+                pt2_double(&acc, &acc);
+                pt2_double(&acc, &acc);
+                pt2_double(&acc, &acc);
+            }
+            if (d) { pt2_add(&acc, &acc, &table[d]); started = 1; }
+        }
+    }
+    *out = acc;
+}
+
+/* ABI: G2 Jacobian canonical = u64[24]: x.c0, x.c1, y.c0, y.c1, z.c0, z.c1 */
+static void load_pt2(pt2 *p, const u64 *in) {
+    fq t;
+    const u64 *src = in;
+    fq *dst[6] = {&p->x.c0, &p->x.c1, &p->y.c0, &p->y.c1, &p->z.c0, &p->z.c1};
+    for (int i = 0; i < 6; i++) {
+        memcpy(t.v, src + 4 * i, 32);
+        fq_to_mont(dst[i], &t);
+    }
+}
+
+static void store_pt2(u64 *out, const pt2 *p) {
+    const fq *src[6] = {&p->x.c0, &p->x.c1, &p->y.c0, &p->y.c1, &p->z.c0, &p->z.c1};
+    for (int i = 0; i < 6; i++) {
+        fq t;
+        fq_from_mont(&t, src[i]);
+        memcpy(out + 4 * i, t.v, 32);
+    }
+}
+
+void g2_batch_scalar_mul(const u64 *points, const u64 *scalars, long n, u64 *out) {
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(dynamic, 8)
+    #endif
+    for (long i = 0; i < n; i++) {
+        pt2 p, r;
+        load_pt2(&p, points + 24 * i);
+        pt2_scalar_mul_w4(&r, &p, scalars + 4 * i);
+        store_pt2(out + 24 * i, &r);
+    }
+}
+
+/* G2 Pippenger MSM (window c = 8), same structure as g1_msm. */
+void g2_msm(const u64 *points, const u64 *scalars, long n, u64 *out) {
+    enum { C = 8, NBUCKET = 1 << C, NW = (256 + C - 1) / C };
+    pt2 wsum[NW];
+    pt2 *pts = (pt2 *)__builtin_malloc(sizeof(pt2) * (size_t)n);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (long i = 0; i < n; i++) load_pt2(&pts[i], points + 24 * i);
+
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(dynamic, 1)
+    #endif
+    for (int w = 0; w < NW; w++) {
+        pt2 *buckets = (pt2 *)__builtin_malloc(sizeof(pt2) * NBUCKET);
+        for (int b = 0; b < NBUCKET; b++) pt2_set_identity(&buckets[b]);
+        for (long i = 0; i < n; i++) {
+            int limb = (w * C) / 64;
+            int shift = (w * C) % 64;
+            u64 d = (scalars[4 * i + limb] >> shift);
+            if (shift > 64 - C && limb < 3)
+                d |= scalars[4 * i + limb + 1] << (64 - shift);
+            d &= (NBUCKET - 1);
+            if (d) pt2_add(&buckets[d], &buckets[d], &pts[i]);
+        }
+        pt2 run, acc;
+        pt2_set_identity(&run);
+        pt2_set_identity(&acc);
+        for (int b = NBUCKET - 1; b >= 1; b--) {
+            pt2_add(&run, &run, &buckets[b]);
+            pt2_add(&acc, &acc, &run);
+        }
+        wsum[w] = acc;
+        __builtin_free(buckets);
+    }
+
+    pt2 total;
+    pt2_set_identity(&total);
+    for (int w = NW - 1; w >= 0; w--) {
+        if (!pt2_is_identity(&total))
+            for (int d = 0; d < C; d++) pt2_double(&total, &total);
+        pt2_add(&total, &total, &wsum[w]);
+    }
+    __builtin_free(pts);
+    store_pt2(out, &total);
+}
+
+/* ---------------- group NTT (the Feist-Khovratovich workhorse) ------------
+ *
+ * In-place radix-2 DIT NTT over G1 points: bit-reversal permutation then
+ * log2(n) butterfly stages; matches ops/ntt.ntt_host semantics (same
+ * ordering as the reference's generic best_fft, which IS instantiated over
+ * groups in halo2 — arithmetic.rs:171 `best_fft<G: Group>`).
+ *
+ * points: n * u64[12] canonical Jacobian, in/out.
+ * twiddles: (n/2) * u64[4] canonical Fr scalars [w^0, w^1, ... w^{n/2-1}].
+ *
+ * Cost model: each butterfly pays one ~254-bit windowed scalar mul
+ * (~250 doubles + ~60 adds); OpenMP over the butterflies of each stage.
+ * A 2^17 NTT is ~1.1M butterflies => minutes single-core, ~tens of
+ * seconds on a few cores — vs hours in Python (round-1 437 s for 2^12).
+ */
+static void pt_neg_inplace(pt *p) {
+    fq zero;
+    memset(&zero, 0, sizeof zero);
+    fq_sub(&p->y, &zero, &p->y);
+}
+
+void g1_group_ntt(u64 *points, const u64 *twiddles, long n, int k) {
+    /* load to Montgomery form */
+    pt *pts = (pt *)__builtin_malloc(sizeof(pt) * (size_t)n);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (long i = 0; i < n; i++) load_pt(&pts[i], points + 12 * i);
+
+    /* bit-reversal permutation */
+    for (long i = 0; i < n; i++) {
+        long r = 0;
+        long x = i;
+        for (int b = 0; b < k; b++) { r = (r << 1) | (x & 1); x >>= 1; }
+        if (r > i) { pt tmp = pts[i]; pts[i] = pts[r]; pts[r] = tmp; }
+    }
+
+    for (int s = 0; s < k; s++) {
+        long half = 1L << s;
+        long stride = 1L << (k - 1 - s);
+        long nbf = n >> 1;
+        #ifdef _OPENMP
+        #pragma omp parallel for schedule(dynamic, 64)
+        #endif
+        for (long bf = 0; bf < nbf; bf++) {
+            long blk = bf >> s;
+            long j = bf & (half - 1);
+            long top = (blk << (s + 1)) | j;
+            long bot = top | half;
+            pt t;
+            if (j == 0) {
+                t = pts[bot];
+            } else {
+                pt_scalar_mul_w4(&t, &pts[bot], twiddles + 4 * (j * stride));
+            }
+            pt nt = t;
+            pt_neg_inplace(&nt);
+            pt e = pts[top];
+            pt_add(&pts[top], &e, &t);
+            pt_add(&pts[bot], &e, &nt);
+        }
+    }
+
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (long i = 0; i < n; i++) store_pt(points + 12 * i, &pts[i]);
+    __builtin_free(pts);
 }

@@ -69,11 +69,17 @@ class StaticTableValues:
         if use_fk and size >= 4:
             raw = fk_all_quotient_commitments(table_coeffs, srs_g1, omega)
             # scale qs[i] by w^i / N  (reference static_lookup.rs:108-119)
-            self.qs = []
+            from ..native_loader import native_batch_scalar_mul
+            scales = []
             wi = 1
-            for q in raw:
-                self.qs.append(CH.g1_mul(q, wi * n_inv % P))
+            for _ in range(size):
+                scales.append(wi * n_inv % P)
                 wi = wi * omega % P
+            raw_jac = [CH.jac_from_affine(q) for q in raw]
+            scaled = native_batch_scalar_mul(raw_jac, scales)
+            if scaled is None:
+                scaled = [CH.jac_mul(q, s) for q, s in zip(raw_jac, scales)]
+            self.qs = CH.jac_batch_to_affine(scaled)
         else:
             self.qs = []
             wi = 1
@@ -88,9 +94,11 @@ class StaticTableValues:
         omega = _omega_for_k(k)
         zv = CH.g2_add(srs_g2[self.size], CH.g2_neg(srs_g2[0]))
         table_coeffs = NTT.intt_host(self.values, omega, P)
-        t = None
-        for c, g in zip(table_coeffs, srs_g2):
-            t = CH.g2_add(t, CH.g2_mul(g, c))
+        from ..native_loader import native_g2_msm
+        t = native_g2_msm(table_coeffs, srs_g2[: len(table_coeffs)])
+        if t is None and any(table_coeffs):
+            for c, g in zip(table_coeffs, srs_g2):
+                t = CH.g2_add(t, CH.g2_mul(g, c))
         b0_bound_index = srs_g1_len - 1 - (circuit_domain - 2)
         # NOTE: the reference stores srs_g1_len here (static_lookup.rs:150-155)
         # but its verifier uses `size` as the table-domain N in the sumcheck
@@ -139,6 +147,25 @@ def _group_ntt(points: List[CH.G1Affine], omega: int) -> List[CH.G1Affine]:
     return CH.jac_batch_to_affine(_group_ntt_jac(jac, omega))
 
 
+def _group_ntt_any(points_jac: List, omega: int, k: int) -> List:
+    """Group NTT dispatch: native C (OpenMP, windowed twiddle muls) when
+    available, else the pure-Python recursion.  Points in/out Jacobian."""
+    from ..native_loader import native_group_ntt
+    n = 1 << k
+    tw = [1] * max(n // 2, 1)
+    for i in range(1, len(tw)):
+        tw[i] = tw[i - 1] * omega % P
+    res = native_group_ntt(points_jac, tw, k)
+    if res is not None:
+        return res
+    return _group_ntt_jac(points_jac, omega)
+
+
+# SRS-side NTT cache: B_hat depends only on the SRS, not the table, so one
+# FK run per SRS pays it and every further table of that size reuses it.
+_srs_ntt_cache: dict = {}
+
+
 def fk_all_quotient_commitments(table_coeffs: List[int], srs_g1: List[CH.G1Affine],
                                 omega: int) -> List[CH.G1Affine]:
     """Feist-Khovratovich all-openings in O(N log N) group ops.
@@ -148,26 +175,40 @@ def fk_all_quotient_commitments(table_coeffs: List[int], srs_g1: List[CH.G1Affin
 
     h is a correlation of the coefficient vector with the SRS powers; it is
     computed as a size-2N cyclic convolution using group NTTs, then the N
-    outputs q_i are one more size-N group NTT of h.
+    outputs q_i are one more size-N group NTT of h.  The group NTTs and the
+    pointwise scalar products run on the native OpenMP kernels
+    (native/fieldops.c g1_group_ntt / g1_batch_scalar_mul) when available —
+    this turns the reference's "SHOULD BE DONE WITH FK METHOD" TODO
+    (static_lookup.rs:107) into minutes for 2^16+ tables.
     """
+    from ..native_loader import native_batch_scalar_mul
+
     n = len(table_coeffs)
     m2 = 2 * n
-    omega2 = _omega_for_k(m2.bit_length() - 1)
+    k2 = m2.bit_length() - 1
+    omega2 = _omega_for_k(k2)
 
     # Correlation h_j = sum_m t_m A_{m-1-j}  (A_k = [x^k]_1 for 0<=k<=N-2)
     # Reverse the point vector: define B_i = A_{-i mod 2N} so that
     # h_j = sum_m t_m B_{(1 + j - m) mod 2N} = cyclicconv(t, B)_{(1+j) mod 2N}
-    B = [CH.JAC_IDENTITY] * m2
-    for kk in range(0, n - 1):
-        B[(-kk) % m2] = CH.jac_from_affine(srs_g1[kk])
+    cache_key = (n, srs_g1[1] if n > 1 else None)
+    B_hat = _srs_ntt_cache.get(cache_key)
+    if B_hat is None:
+        B = [CH.JAC_IDENTITY] * m2
+        for kk in range(0, n - 1):
+            B[(-kk) % m2] = CH.jac_from_affine(srs_g1[kk])
+        B_hat = _group_ntt_any(B, omega2, k2)
+        _srs_ntt_cache[cache_key] = B_hat
 
     t_pad = list(table_coeffs) + [0] * (m2 - n)
     t_hat = NTT.ntt_host(t_pad, omega2, P)
-    B_hat = _group_ntt_jac(B, omega2)
     m2_inv = pow(m2, P - 2, P)
-    prod = [CH.jac_mul(b, s * m2_inv % P) for b, s in zip(B_hat, t_hat)]
-    conv = _group_ntt_jac(prod, pow(omega2, P - 2, P))
+    scales = [s * m2_inv % P for s in t_hat]
+    prod = native_batch_scalar_mul(B_hat, scales)
+    if prod is None:
+        prod = [CH.jac_mul(b, s) for b, s in zip(B_hat, scales)]
+    conv = _group_ntt_any(prod, pow(omega2, P - 2, P), k2)
     h = [conv[(1 + j) % m2] for j in range(n)]
 
     # q = NTT_N(h)
-    return CH.jac_batch_to_affine(_group_ntt_jac(h, omega))
+    return CH.jac_batch_to_affine(_group_ntt_any(h, omega, n.bit_length() - 1))

@@ -33,13 +33,21 @@ def _omega_for_k(k: int) -> int:
     return w
 
 
+def _g1_gen_muls(scalars: List[int]) -> List[CH.G1Affine]:
+    """[k * G1_GEN for k in scalars] via the native OpenMP batch kernel."""
+    from ...native_loader import native_batch_scalar_mul
+    jac = [CH.jac_from_affine(CH.G1_GEN)] * len(scalars)
+    res = native_batch_scalar_mul(jac, scalars)
+    if res is None:
+        return [CH.g1_mul(CH.G1_GEN, k) for k in scalars]
+    return CH.jac_batch_to_affine(res)
+
+
 def _g1_powers_of_s(s: int, n: int) -> List[CH.G1Affine]:
-    out = []
-    cur = 1
-    for _ in range(n):
-        out.append(CH.g1_mul(CH.G1_GEN, cur))
-        cur = cur * s % P
-    return out
+    pows = [1] * n
+    for i in range(1, n):
+        pows[i] = pows[i - 1] * s % P
+    return _g1_gen_muls(pows)
 
 
 def _lagrange_basis_from_s(s: int, n: int) -> List[CH.G1Affine]:
@@ -49,10 +57,9 @@ def _lagrange_basis_from_s(s: int, n: int) -> List[CH.G1Affine]:
     multiplier = (pow(s, n, P) - 1) * n_inv % P
     denoms = [(s - pow(omega, i, P)) % P for i in range(n)]
     denom_invs = H.batch_inv(denoms, P)
-    return [
-        CH.g1_mul(CH.G1_GEN, multiplier * pow(omega, i, P) % P * denom_invs[i] % P)
-        for i in range(n)
-    ]
+    return _g1_gen_muls([
+        multiplier * pow(omega, i, P) % P * denom_invs[i] % P for i in range(n)
+    ])
 
 
 @dataclass
@@ -113,22 +120,30 @@ class TableSRS:
         omega = _omega_for_k(k)
         n_inv = pow(n, P - 2, P)
 
+        from ...native_loader import native_batch_scalar_mul, native_g2_batch_scalar_mul
+
         g1 = _g1_powers_of_s(s, g1_len)
-        g2 = []
-        cur = 1
-        for _ in range(g2_len):
-            g2.append(CH.g2_mul(CH.G2_GEN, cur))
-            cur = cur * s % P
+        s_pows = [1] * g2_len
+        for i in range(1, g2_len):
+            s_pows[i] = s_pows[i - 1] * s % P
+        g2 = native_g2_batch_scalar_mul([CH.G2_GEN] * g2_len, s_pows)
+        if g2 is None:
+            g2 = [CH.g2_mul(CH.G2_GEN, c) for c in s_pows]
 
         g1_lagrange = _lagrange_basis_from_s(s, n)
 
         # [(L_i(x) - L_i(0))/x]_1 = omega^{-i} [L_i(x)]_1 - (1/N) [x^{N-1}]_1
         omega_inv = pow(omega, P - 2, P)
         last_scaled = CH.g1_mul(g1[-1], n_inv)
-        opening_at_0 = []
-        w = 1
-        for i in range(n):
-            term = CH.g1_add(CH.g1_mul(g1_lagrange[i], w), CH.g1_neg(last_scaled))
-            opening_at_0.append(term)
-            w = w * omega_inv % P
+        neg_last = CH.g1_neg(last_scaled)
+        w_pows = [1] * n
+        for i in range(1, n):
+            w_pows[i] = w_pows[i - 1] * omega_inv % P
+        scaled = native_batch_scalar_mul(
+            [CH.jac_from_affine(p) for p in g1_lagrange], w_pows)
+        if scaled is None:
+            scaled_aff = [CH.g1_mul(g1_lagrange[i], w_pows[i]) for i in range(n)]
+        else:
+            scaled_aff = CH.jac_batch_to_affine(scaled)
+        opening_at_0 = [CH.g1_add(pt, neg_last) for pt in scaled_aff]
         return TableSRS(g1, g1_lagrange, opening_at_0, g2)

@@ -4,8 +4,10 @@
 Runs the full pipeline at a selectable limb scheme:
   mini  — 4-bit words (2^7 max table), seconds-scale smoke
   test  — 8-bit words (2^12 max table, 64 real rounds + schedule)
+  short — 16-bit words (ShortLimbs, 2^19 max table — the reference's
+          intended scheme, preprocessable only via the native FK path)
 
-Usage: python benchmarks/sha_bench.py [mini|test]
+Usage: python benchmarks/sha_bench.py [mini|test|short]
 """
 import json
 import os
@@ -18,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sha2cq_tpu.fields.host import FR_MOD
 from sha2cq_tpu.models.sha.circuit import Sha2CqCircuit
 from sha2cq_tpu.models.sha.setup import build_sha_setup
-from sha2cq_tpu.models.sha.tables import MINI_LIMBS, TEST_LIMBS
+from sha2cq_tpu.models.sha.tables import MINI_LIMBS, SHORT_LIMBS, TEST_LIMBS
 from sha2cq_tpu.plonk import create_proof, keygen_pk, keygen_vk, verify_proof
 from sha2cq_tpu.poly.kzg.params import ParamsKZG
 from sha2cq_tpu.poly.kzg.strategy import AccumulatorStrategy
@@ -30,7 +32,7 @@ K = 7
 
 def main():
     scheme = sys.argv[1] if len(sys.argv) > 1 else "mini"
-    limbs = {"mini": MINI_LIMBS, "test": TEST_LIMBS}[scheme]
+    limbs = {"mini": MINI_LIMBS, "test": TEST_LIMBS, "short": SHORT_LIMBS}[scheme]
 
     class C(Sha2CqCircuit):
         LIMBS = limbs

@@ -35,26 +35,67 @@ def _column_tables(rows: List[Tuple[int, int, int, int]], order=("x", "y", "z", 
 
 
 def config_from_s(s: int, size: int) -> StaticTableConfig:
-    """Per-size Lagrange + opening-at-0 bases from toxic waste."""
+    """Per-size Lagrange + opening-at-0 bases from toxic waste (batched on
+    the native kernels; the Python loop was minutes at 2^19)."""
+    from ...native_loader import native_batch_scalar_mul
+
     g1_lagrange = _lagrange_basis_from_s(s, size)
     k = size.bit_length() - 1
     omega_inv = pow(_omega_for_k(k), P - 2, P)
     n_inv = pow(size, P - 2, P)
     # [x^{size-1}]_1 * (1/size)
     last_scaled = CH.g1_mul(CH.G1_GEN, pow(s, size - 1, P) * n_inv % P)
-    opening = []
-    wi = 1
-    for i in range(size):
-        opening.append(CH.g1_add(CH.g1_mul(g1_lagrange[i], wi), CH.g1_neg(last_scaled)))
-        wi = wi * omega_inv % P
+    neg_last = CH.g1_neg(last_scaled)
+    w_pows = [1] * size
+    for i in range(1, size):
+        w_pows[i] = w_pows[i - 1] * omega_inv % P
+    scaled = native_batch_scalar_mul(
+        [CH.jac_from_affine(p) for p in g1_lagrange], w_pows)
+    if scaled is None:
+        scaled_aff = [CH.g1_mul(g1_lagrange[i], w_pows[i]) for i in range(size)]
+    else:
+        scaled_aff = CH.jac_batch_to_affine(scaled)
+    opening = [CH.g1_add(pt, neg_last) for pt in scaled_aff]
     return StaticTableConfig(size, g1_lagrange, opening)
 
 
-def build_sha_setup(l: Limbs, circuit_n: int, s: int):
+def build_sha_setup(l: Limbs, circuit_n: int, s: int, cache: bool = True):
     """Returns (static_tables, configs, b0_g1_bound, srs).
 
     static_tables: short-name -> {component -> StaticTable} for the circuit.
+
+    With cache=True the whole preprocessed bundle is pickled under
+    ~/.cache/sha2cq_jax keyed by (limb scheme, circuit size, toxic-waste
+    hash): the 16-bit-scheme FK preprocessing is minutes of one-time native
+    compute that every prover run should not repay.  (The cache holds
+    test/toxic-waste setups; a production ceremony would ship these as
+    artifacts through utils/keyio.)
     """
+    import hashlib
+    import os
+    import pickle
+
+    cache_path = None
+    if cache:
+        cache_dir = os.path.expanduser(
+            os.environ.get("SHA2CQ_CACHE", "~/.cache/sha2cq_jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        tag = f"sha_setup_{l.first}_{l.second}_{circuit_n}_{s % P:x}"
+        cache_path = os.path.join(
+            cache_dir, hashlib.sha256(tag.encode()).hexdigest()[:24] + ".pkl")
+        if os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                return pickle.load(f)
+
+    result = _build_sha_setup_uncached(l, circuit_n, s)
+    if cache_path:
+        with open(cache_path + ".tmp", "wb") as f:
+            pickle.dump(result, f, protocol=4)
+        os.replace(cache_path + ".tmp", cache_path)
+    return result
+
+
+def _build_sha_setup_uncached(l: Limbs, circuit_n: int, s: int):
     w = l.word_len
     specs = {
         "dsum": (_column_tables(create_decomposition_table(l, w + 3), ("a", "x", "y", "z"))),

@@ -1,0 +1,67 @@
+"""Preprocessing for the real SHA-256 circuit (circuit32.py): master
+TableSRS, all half/piece/limb table families, per-size configs.
+
+Same shape as setup.py but driven by tables32.build_all_columns; the whole
+preprocessed bundle is disk-cached (the 32-bit scheme is ~an hour of
+one-time native FK + G2 MSM work across ~52 table columns).
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from typing import Dict
+
+from ...fields import host as H
+from ...plonk.static_tables import StaticTable, StaticTableValues
+from ...poly.kzg.params import TableSRS
+from .setup import config_from_s
+from .tables32 import HalfScheme, build_all_columns
+
+P = H.FR_MOD
+
+
+def build_sha256_setup(s: HalfScheme, circuit_n: int, secret: int,
+                       cache: bool = True, progress: bool = False):
+    """Returns (static_tables, configs, b0_g1_bound, srs) for circuit32."""
+    cache_path = None
+    if cache:
+        cache_dir = os.path.expanduser(
+            os.environ.get("SHA2CQ_CACHE", "~/.cache/sha2cq_jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        tag = f"sha256_setup_{s.word_bits}_{circuit_n}_{secret % P:x}"
+        cache_path = os.path.join(
+            cache_dir, hashlib.sha256(tag.encode()).hexdigest()[:24] + ".pkl")
+        if os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                return pickle.load(f)
+
+    specs = build_all_columns(s)
+    max_size = max(len(next(iter(c.values()))) for c in specs.values())
+    srs_len = max(max_size, circuit_n)
+    srs = TableSRS.setup_from_toxic_waste(srs_len - 1, srs_len, secret)
+
+    static_tables: Dict[str, Dict[str, StaticTable]] = {}
+    sizes = set()
+    for fam, columns in specs.items():
+        static_tables[fam] = {}
+        for comp, values in columns.items():
+            sizes.add(len(values))
+            if progress:
+                import time
+                t0 = time.time()
+            tv = StaticTableValues(values, srs.g1)
+            committed = tv.commit(srs_len, srs.g2, circuit_n)
+            static_tables[fam][comp] = StaticTable(opened=tv, committed=committed)
+            if progress:
+                print(f"  table {fam}.{comp} ({len(values)} rows): "
+                      f"{time.time() - t0:.1f}s", flush=True)
+
+    configs = {size: config_from_s(secret, size) for size in sizes}
+    b0_g1_bound = srs.g1[srs_len - circuit_n + 1:]
+    result = (static_tables, configs, b0_g1_bound, srs)
+    if cache_path:
+        with open(cache_path + ".tmp", "wb") as f:
+            pickle.dump(result, f, protocol=4)
+        os.replace(cache_path + ".tmp", cache_path)
+    return result

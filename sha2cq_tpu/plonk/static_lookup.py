@@ -76,9 +76,9 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
             m_sparse[index] = m_sparse.get(index, 0) + 1
 
     f_cm = params.commit_lagrange(f)
-    m_cm = None
-    for index in sorted(m_sparse):
-        m_cm = CH.g1_add(m_cm, CH.g1_mul(table_config.g1_lagrange[index], m_sparse[index]))
+    idxs = sorted(m_sparse)
+    m_cm = M.msm([m_sparse[i] for i in idxs],
+                 [table_config.g1_lagrange[i] for i in idxs])
     transcript.write_point(f_cm)
     transcript.write_point(m_cm)
     return {
@@ -95,21 +95,26 @@ def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
     tables = [pk.static_table_mapping[tid] for tid in committed["table_ids"]]
     table_config = pk.static_table_configs[tables[0].size]
 
-    a_cm = None
-    qa_cm = None
-    a0_cm = None
-    for index in sorted(committed["m_sparse"]):
-        multiplicity = committed["m_sparse"][index]
-        # theta-compress table values and quotient commitments at this index
+    # A_i = m_i / (T_i + beta) over the distinct touched indices; the three
+    # sparse commitments are Pippenger MSMs (native), with the theta
+    # compression of the per-table quotients moved OUTSIDE the point sum:
+    #   qa = sum_i A_i (sum_t theta^{T-1-t} qs_t[i])
+    #      = sum_t theta^{T-1-t} (sum_i A_i qs_t[i])
+    idxs = sorted(committed["m_sparse"])
+    tvs = []
+    for index in idxs:
         tv = 0
-        tq = None
-        for t_i, table in enumerate(tables):
+        for t_i in range(len(tables)):
             tv = (tv * theta + committed["table_index_value_mappings"][t_i][index]) % P
-            tq = CH.g1_add(CH.g1_mul(tq, theta) if tq else None, table.qs[index])
-        a_i = multiplicity * inv_mod(tv + beta, P) % P
-        a_cm = CH.g1_add(a_cm, CH.g1_mul(table_config.g1_lagrange[index], a_i))
-        qa_cm = CH.g1_add(qa_cm, CH.g1_mul(tq, a_i))
-        a0_cm = CH.g1_add(a0_cm, CH.g1_mul(table_config.g_lagrange_opening_at_0[index], a_i))
+        tvs.append(tv)
+    denom_invs = batch_inv([(tv + beta) % P for tv in tvs], P)
+    a_vals = [committed["m_sparse"][i] * dv % P for i, dv in zip(idxs, denom_invs)]
+    a_cm = M.msm(a_vals, [table_config.g1_lagrange[i] for i in idxs])
+    a0_cm = M.msm(a_vals, [table_config.g_lagrange_opening_at_0[i] for i in idxs])
+    qa_cm = None
+    for table in tables:
+        part = M.msm(a_vals, [table.qs[i] for i in idxs])
+        qa_cm = CH.g1_add(CH.g1_mul(qa_cm, theta) if qa_cm else None, part)
 
     bf = pk.vk.cs.blinding_factors()
     n = params.n

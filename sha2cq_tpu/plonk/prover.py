@@ -121,7 +121,8 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
     mark = profiler.marker("create_proof")
     pk.vk.hash_into(transcript)
 
-    # instance values -> lagrange + coeff polys
+    # instance values -> lagrange + coeff polys; raw values absorbed into the
+    # transcript up front (prover.rs:100-131 / verifier.rs:52-55 order)
     instance_singles = []
     for inst in instances:
         values = []
@@ -133,40 +134,44 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
             values.append(v)
             polys.append(domain.lagrange_to_coeff_host(v))
         instance_singles.append({"values": values, "polys": polys})
+        for col in inst:
+            for v in col:
+                transcript.common_scalar(v % P)
 
-    # ---- witness generation (per phase) --------------------------------
-    assert len(circuits) == 1, "multi-circuit proving not supported with phases"
+    # ---- witness generation --------------------------------------------
+    # Phase-major over circuits (prover.rs:299-391): within each phase every
+    # circuit synthesizes and commits its advice, THEN the phase challenges
+    # are squeezed — so multi-circuit proofs share challenges correctly.
     unusable_rows_start = n - (cs.blinding_factors() + 1)
     phases = cs.phases()
     challenges: dict = {}
-    advice_singles = []
-    for circuit, inst, inst_single in zip(circuits, instances, instance_singles):
-        config = type(circuit).configure(ConstraintSystem())
-        witness = _WitnessCollection(
-            cs, n, unusable_rows_start, inst_single["values"], phases[0], challenges)
-        advice_polys: List[List[int]] = [[0] * n for _ in range(cs.num_advice_columns)]
-        for phase_idx, phase in enumerate(phases):
+    configs = [type(c).configure(ConstraintSystem()) for c in circuits]
+    witnesses = [
+        _WitnessCollection(cs, n, unusable_rows_start, inst_single["values"],
+                           phases[0], challenges)
+        for inst_single in instance_singles
+    ]
+    advice_singles = [
+        {"values": [[0] * n for _ in range(cs.num_advice_columns)]}
+        for _ in circuits
+    ]
+    for phase in phases:
+        for c_idx, circuit in enumerate(circuits):
+            witness = witnesses[c_idx]
             witness.current_phase = phase
-            SimpleFloorPlanner.synthesize(witness, circuit, config, cs.constants)
-            # end of phase: absorb instances (phase 0), blind + commit advice.
-            # NB: the raw caller-provided values, not the zero-padded
-            # polynomial (prover.rs:305-310 iterates self.instances)
-            if phase_idx == 0:
-                for col in inst:
-                    for v in col:
-                        transcript.common_scalar(v % P)
+            SimpleFloorPlanner.synthesize(
+                witness, circuit, configs[c_idx], cs.constants)
             for col_idx, col_phase in enumerate(cs.advice_column_phase):
                 if col_phase != phase:
                     continue
                 col = list(witness.advice[col_idx])
                 for row in range(unusable_rows_start, n):
                     col[row] = rng.randrange(P)
-                advice_polys[col_idx] = col
+                advice_singles[c_idx]["values"][col_idx] = col
                 transcript.write_point(params.commit_lagrange(col))
-            for ch_idx, ch_phase in enumerate(cs.challenge_phase):
-                if ch_phase == phase:
-                    challenges[ch_idx] = transcript.squeeze_challenge()
-        advice_singles.append({"values": advice_polys})
+        for ch_idx, ch_phase in enumerate(cs.challenge_phase):
+            if ch_phase == phase:
+                challenges[ch_idx] = transcript.squeeze_challenge()
 
     mark("witness_and_advice_commit")
     challenges_list = [challenges[i] for i in range(cs.num_challenges)]
@@ -223,6 +228,10 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
     vanishing = vanishing_commit(params, domain, rng, transcript)
     y = transcript.squeeze_challenge()
 
+    if h_device and len(circuits) > 1:
+        # the fused single-dispatch device h-path is single-circuit for now;
+        # multi-circuit proofs take the host evaluator
+        h_device = False
     if h_device:
         # TPU path: ONE jitted dispatch covers every basis conversion, the
         # h accumulation, the vanishing quotient and the return to coeffs

@@ -121,3 +121,32 @@ def test_prove_verify_dynamic_lookup():
     batcher = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
                            wrong, Blake2bRead(proof))
     assert not batcher.check()
+
+
+def test_multi_circuit_single_proof():
+    """Two circuit instances in ONE proof (reference prover.rs:51-60 takes a
+    slice of circuits); the verifier batches both instance sets."""
+    rng = random.Random(777)
+    s = rng.randrange(P)
+    params = ParamsKZG.setup_from_toxic_waste(K, s)
+
+    a1, b1 = _inputs()
+    a2 = [2, 6, 9]
+    b2 = [8, a2[0], 3]
+    c1 = ApiCircuit(a1, b1)
+    c2 = ApiCircuit(a2, b2)
+    inst1 = [a1[0] * b1[0] % P]
+    inst2 = [a2[0] * b2[0] % P]
+
+    vk = keygen_vk(params, c1)
+    pk = keygen_pk(params, {}, [], vk, c1)
+    proof = create_proof(params, pk, [c1, c2], [[inst1], [inst2]], rng=rng)
+
+    batcher = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
+                           [[inst1], [inst2]], Blake2bRead(proof))
+    assert batcher.check(), "two-circuit proof failed"
+
+    # swapping the instance sets must not verify
+    batcher = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
+                           [[inst2], [inst1]], Blake2bRead(proof))
+    assert not batcher.check(), "swapped instances must fail"

@@ -136,6 +136,14 @@ class Region:
     def constrain_constant(self, cell: Cell, constant: int) -> None:
         self._l._assign_constant(constant, cell, self)
 
+    def get_challenge(self, challenge) -> Value:
+        """Phase challenge value: known once the challenge's phase has been
+        squeezed, Value.unknown() before (reference Layouter::get_challenge)."""
+        sink = self._l.assignment
+        if hasattr(sink, "get_challenge"):
+            return sink.get_challenge(challenge)
+        return Value.unknown()
+
 
 class Table:
     """Dynamic-lookup fixed table view (reference circuit.rs:368)."""

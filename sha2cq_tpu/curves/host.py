@@ -407,8 +407,9 @@ def _fq12_frob_point(pt: Fq12Point) -> Fq12Point:
     return (fq12_frob(pt[0], 1), fq12_frob(pt[1], 1))
 
 
-def miller_loop(p: G1Affine, q: G2Affine) -> tuple:
-    """f_{6x+2, Q}(P) with the two Frobenius correction lines (optimal ate)."""
+def _miller_loop_fq12(p: G1Affine, q: G2Affine) -> tuple:
+    """Affine untwist-to-Fq12 Miller loop — the original (slow, inversion-
+    per-step) formulation, kept as the oracle for the fast path below."""
     if p is None or q is None:
         return FQ12_ONE
     qq = _untwist(q)
@@ -431,6 +432,103 @@ def miller_loop(p: G1Affine, q: G2Affine) -> tuple:
     return f
 
 
+# -- fast Miller loop: inversion-free Jacobian steps over Fq2 -----------------
+#
+# The untwisted point is (xt*w^2, yt*w^3) with xt, yt in Fq2, so all point
+# arithmetic stays in Fq2; line functions come out supported on w-degrees
+# {0, 1, 3} (derivation: L = lam*xp*w - lam*xt*w^3 - yp + yt*w^3 with
+# lam = lam2*w), scaled by subfield constants that final exponentiation
+# kills.  In the fq12 tower (g0 + g1*w over fq6 = a0 + a1*v + a2*v^2,
+# w^2 = v) degrees {0, 1, 3} are components g0.a0, g1.a0, g1.a1.
+
+def _sparse013(a0, a1, a3) -> tuple:
+    return ((a0, FQ2_ZERO, FQ2_ZERO), (a1, a3, FQ2_ZERO))
+
+
+def _dbl_step(t, xp: int, yp: int):
+    """Jacobian double of t=(X,Y,Z) over Fq2 + line coeffs evaluated at P.
+    Line (scaled by 2*yt*Zt^6): -2*Yt*Zt^3*yp @w0, 3*Xt^2*Zt^2*xp @w1,
+    (2*Yt^2 - 3*Xt^3) @w3."""
+    X, Y, Z = t
+    XX = F.fq2_sq(X)
+    YY = F.fq2_sq(Y)
+    YYYY = F.fq2_sq(YY)
+    ZZ = F.fq2_sq(Z)
+    S = F.fq2_scalar(F.fq2_sub(F.fq2_sub(F.fq2_sq(F.fq2_add(X, YY)), XX), YYYY), 2)
+    M = F.fq2_scalar(XX, 3)
+    X3 = F.fq2_sub(F.fq2_sq(M), F.fq2_scalar(S, 2))
+    Z3 = F.fq2_sub(F.fq2_sub(F.fq2_sq(F.fq2_add(Y, Z)), YY), ZZ)
+    Y3 = F.fq2_sub(F.fq2_mul(M, F.fq2_sub(S, X3)), F.fq2_scalar(YYYY, 8))
+    Zt3 = F.fq2_mul(ZZ, Z)
+    c0 = F.fq2_scalar(F.fq2_mul(Y, Zt3), (-2 * yp) % P)
+    c1 = F.fq2_scalar(F.fq2_mul(XX, ZZ), 3 * xp % P)
+    c3 = F.fq2_sub(F.fq2_scalar(YY, 2), F.fq2_scalar(F.fq2_mul(XX, X), 3))
+    return (X3, Y3, Z3), (c0, c1, c3)
+
+
+def _add_step(t, q, xp: int, yp: int):
+    """Mixed Jacobian addition t + (xq, yq) over Fq2 + line coeffs.
+    Line (scaled by H*Zt = Z3): -yp*Z3 @w0, R*xp @w1, (yq*Z3 - R*xq) @w3."""
+    X, Y, Z = t
+    xq, yq = q
+    ZZ = F.fq2_sq(Z)
+    U2 = F.fq2_mul(xq, ZZ)
+    S2 = F.fq2_mul(F.fq2_mul(yq, ZZ), Z)
+    H = F.fq2_sub(U2, X)
+    R = F.fq2_sub(S2, Y)
+    HH = F.fq2_sq(H)
+    HHH = F.fq2_mul(H, HH)
+    V = F.fq2_mul(X, HH)
+    X3 = F.fq2_sub(F.fq2_sub(F.fq2_sq(R), HHH), F.fq2_scalar(V, 2))
+    Y3 = F.fq2_sub(F.fq2_mul(R, F.fq2_sub(V, X3)), F.fq2_mul(Y, HHH))
+    Z3 = F.fq2_mul(Z, H)
+    c0 = F.fq2_scalar(Z3, (-yp) % P)
+    c1 = F.fq2_scalar(R, xp)
+    c3 = F.fq2_sub(F.fq2_mul(yq, Z3), F.fq2_mul(R, xq))
+    return (X3, Y3, Z3), (c0, c1, c3)
+
+
+def _frob_twist_coeffs():
+    """gamma2, gamma3 with frob(w^2) = gamma2 * w^2, frob(w^3) = gamma3 * w^3,
+    computed from the generic fq12 machinery (no hand-written constants)."""
+    g2 = fq12_mul(fq12_frob(_W2, 1), fq12_inv(_W2))
+    g3 = fq12_mul(fq12_frob(_W3, 1), fq12_inv(_W3))
+    return g2[0][0], g3[0][0]
+
+
+_G2_FROB_X, _G2_FROB_Y = _frob_twist_coeffs()
+
+
+def _psi(q: G2Affine) -> G2Affine:
+    """Untwist-Frobenius-twist endomorphism on G2 twist coordinates."""
+    x, y = q
+    return (F.fq2_mul(F.fq2_conj(x), _G2_FROB_X),
+            F.fq2_mul(F.fq2_conj(y), _G2_FROB_Y))
+
+
+def miller_loop(p: G1Affine, q: G2Affine) -> tuple:
+    """f_{6x+2, Q}(P), optimal ate: Fq2 Jacobian steps, no inversions."""
+    if p is None or q is None:
+        return FQ12_ONE
+    xp, yp = p
+    t = (q[0], q[1], F.FQ2_ONE)
+    f = FQ12_ONE
+    for i in range(F.ATE_LOOP_COUNT.bit_length() - 2, -1, -1):
+        t, (c0, c1, c3) = _dbl_step(t, xp, yp)
+        f = fq12_mul(fq12_sq(f), _sparse013(c0, c1, c3))
+        if (F.ATE_LOOP_COUNT >> i) & 1:
+            t, (c0, c1, c3) = _add_step(t, q, xp, yp)
+            f = fq12_mul(f, _sparse013(c0, c1, c3))
+    q1 = _psi(q)
+    q2 = _psi(q1)
+    nq2 = (q2[0], F.fq2_neg(q2[1]))
+    t, (c0, c1, c3) = _add_step(t, q1, xp, yp)
+    f = fq12_mul(f, _sparse013(c0, c1, c3))
+    t, (c0, c1, c3) = _add_step(t, nq2, xp, yp)
+    f = fq12_mul(f, _sparse013(c0, c1, c3))
+    return f
+
+
 def multi_miller_loop(pairs: Iterable[Tuple[G1Affine, G2Affine]]) -> tuple:
     f = FQ12_ONE
     for p, q in pairs:
@@ -440,15 +538,45 @@ def multi_miller_loop(pairs: Iterable[Tuple[G1Affine, G2Affine]]) -> tuple:
     return f
 
 
+def _exp_by_x(f: tuple) -> tuple:
+    """f^x for the BN parameter x (63 bits) — square-and-multiply."""
+    return F.fq12_pow(f, F.BN_X)
+
+
 def final_exponentiation(f: tuple) -> tuple:
-    """f^((p^12-1)/r).  Easy part via conjugation/inversion + Frobenius; hard
-    part by direct exponentiation (host-side, once per batch)."""
+    """f^((p^12-1)/r).  Easy part via conjugation/inversion + Frobenius;
+    hard part with the BN addition-chain structure (three exponentiations by
+    the 63-bit curve parameter x plus ~15 multiplies — reference
+    engine.rs:460-560) instead of one ~3000-bit direct exponentiation:
+    ~20x fewer Fq12 operations, which is most of verifier wall-clock."""
     # easy part: f^(p^6-1) then ^(p^2+1)
     f1 = fq12_mul(fq12_conj(f), fq12_inv(f))
-    f2 = fq12_mul(fq12_frob(f1, 2), f1)
-    # hard part: f2^((p^4 - p^2 + 1)/r)
-    e = (P ** 4 - P ** 2 + 1) // FR_MOD
-    return fq12_pow(f2, e)
+    r = fq12_mul(fq12_frob(f1, 2), f1)
+    # hard part on the cyclotomic subgroup (conjugate == inverse there)
+    inv = fq12_conj
+    fp1 = fq12_frob(r, 1)
+    fp2 = fq12_frob(r, 2)
+    fp3 = fq12_frob(r, 3)
+    fu = _exp_by_x(r)
+    fu2 = _exp_by_x(fu)
+    fu3 = _exp_by_x(fu2)
+    fu2p = fq12_frob(fu2, 1)
+    fu3p = fq12_frob(fu3, 1)
+    y0 = fq12_mul(fq12_mul(fp1, fp2), fp3)
+    y1 = inv(r)
+    y2 = fq12_frob(fu2, 2)
+    y3 = inv(fq12_frob(fu, 1))
+    y4 = inv(fq12_mul(fu, fu2p))
+    y5 = inv(fu2)
+    y6 = inv(fq12_mul(fu3, fu3p))
+    t0 = fq12_mul(fq12_mul(fq12_sq(y6), y4), y5)
+    t1 = fq12_mul(fq12_mul(y3, y5), t0)
+    t0 = fq12_mul(t0, y2)
+    t1 = fq12_sq(fq12_mul(fq12_sq(t1), t0))
+    t0 = fq12_mul(t1, y1)
+    t1 = fq12_mul(t1, y0)
+    t0 = fq12_sq(t0)
+    return fq12_mul(t1, t0)
 
 
 def pairing(p: G1Affine, q: G2Affine) -> tuple:

@@ -7,8 +7,17 @@ Differences from the reference, by design:
     SURVEY.md §1-L4); we have the table values available, so we check.
   - failures are reported as structured strings rather than a typed enum
     (dev/failure.rs); enough for tests to assert on.
+  - multi-phase challenges ARE supported: synthesis is re-run per phase with
+    deterministic (hash-derived) challenge values revealed phase by phase,
+    mirroring the real prover's phase protocol — a circuit that consumes a
+    challenge before its phase produces garbage witnesses and fails gates.
+  - gate failures carry the enclosing region name; advice cells queried by
+    an active gate but never assigned are reported ("unassigned"), like the
+    reference's cell-coverage checks (dev.rs:979+).
 """
 from __future__ import annotations
+
+import hashlib
 
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -34,23 +43,39 @@ class _MockAssignment:
         self.copies: List[Tuple[Column, int, Column, int]] = []
         self.static_tables: Dict[StaticTableId, object] = {}
         self.current_region = None
+        self.challenges: Dict[int, int] = {}
+        self.regions: List[Tuple[str, int, int]] = []   # (name, min_row, max_row)
 
     # Assignment protocol
     def enter_region(self, name):
-        self.current_region = name
+        self.current_region = [name, None, None]
 
     def exit_region(self):
+        if self.current_region and self.current_region[1] is not None:
+            self.regions.append(tuple(self.current_region))
         self.current_region = None
+
+    def _touch(self, row: int) -> None:
+        r = self.current_region
+        if r is not None:
+            r[1] = row if r[1] is None else min(r[1], row)
+            r[2] = row if r[2] is None else max(r[2], row)
+
+    def get_challenge(self, challenge) -> Value:
+        v = self.challenges.get(challenge.index)
+        return Value.known(v) if v is not None else Value.unknown()
 
     def assign_advice(self, column: Column, row: int, value: Value) -> None:
         if row >= self.usable_rows:
             raise ValueError(f"not enough rows available (row {row})")
+        self._touch(row)
         self.advice[column.index][row] = value.assign()
         self.advice_assigned[column.index][row] = True
 
     def assign_fixed(self, column: Column, row: int, value: Value) -> None:
         if row >= self.usable_rows:
             raise ValueError(f"not enough rows available (row {row})")
+        self._touch(row)
         self.fixed[column.index][row] = value.assign()
 
     def enable_selector(self, selector: Selector, row: int) -> None:
@@ -82,6 +107,33 @@ class VerifyFailure:
         return f"{self.kind} '{self.name}' violated at row {self.row} {self.detail}"
 
 
+def _collect_queries(expr: Expression, advice_out: set, fixed_out: set) -> None:
+    if expr.kind == "advice":
+        advice_out.add((expr.column.index, expr.rotation))
+    elif expr.kind == "fixed":
+        fixed_out.add((expr.column.index, expr.rotation))
+    if expr.a is not None:
+        _collect_queries(expr.a, advice_out, fixed_out)
+    if expr.b is not None:
+        _collect_queries(expr.b, advice_out, fixed_out)
+
+
+def _selectors_of(gate) -> set:
+    out: set = set()
+
+    def walk(e):
+        if e.kind == "selector":
+            out.add(e.value)
+        if e.a is not None:
+            walk(e.a)
+        if e.b is not None:
+            walk(e.b)
+
+    for poly in gate.polys:
+        walk(poly)
+    return out
+
+
 class MockProver:
     def __init__(self, k: int, cs: ConstraintSystem, assignment: _MockAssignment):
         self.k = k
@@ -99,8 +151,23 @@ class MockProver:
         usable_rows = n - (cs.blinding_factors() + 1)
         inst = [list(col) + [0] * (n - len(col)) for col in instance]
         assignment = _MockAssignment(n, cs, inst, usable_rows)
-        SimpleFloorPlanner.synthesize(assignment, circuit, config, cs.constants)
+        # phase protocol: re-synthesize per phase, revealing deterministic
+        # challenge values after each phase (mirrors prover.rs:299-391)
+        for phase in cs.phases():
+            assignment.regions.clear()
+            SimpleFloorPlanner.synthesize(assignment, circuit, config, cs.constants)
+            for ch_idx, ch_phase in enumerate(cs.challenge_phase):
+                if ch_phase == phase + 1 and ch_idx not in assignment.challenges:
+                    digest = hashlib.blake2b(
+                        f"mock-challenge-{ch_idx}".encode(), digest_size=32).digest()
+                    assignment.challenges[ch_idx] = int.from_bytes(digest, "little") % P
         return MockProver(k, cs, assignment)
+
+    def _region_of(self, row: int) -> str:
+        for name, lo, hi in self.a.regions:
+            if lo <= row <= hi:
+                return str(name)
+        return "?"
 
     # ------------------------------------------------------------------
     def _cell(self, kind: str, col_index: int, row: int) -> int:
@@ -120,8 +187,7 @@ class MockProver:
             "fixed": lambda e: self._cell("fixed", e.column.index, row + e.rotation),
             "advice": lambda e: self._cell("advice", e.column.index, row + e.rotation),
             "instance": lambda e: self._cell("instance", e.column.index, row + e.rotation),
-            "challenge": lambda e: (_ for _ in ()).throw(
-                ValueError("challenges unsupported in MockProver")),
+            "challenge": lambda e: self.a.challenges.get(e.value, 0),
             "neg": lambda a: (-a) % P,
             "sum": lambda a, b: (a + b) % P,
             "prod": lambda a, b: (a * b) % P,
@@ -139,7 +205,37 @@ class MockProver:
                 for row in range(usable):
                     if self._eval(poly, row) != 0:
                         failures.append(VerifyFailure(
-                            "gate", gate.name, row, f"(constraint {poly_idx})"))
+                            "gate", gate.name, row,
+                            f"(constraint {poly_idx}, region "
+                            f"'{self._region_of(row)}')"))
+
+        # unassigned-cell coverage: an advice cell queried by a gate that is
+        # active on a region row (some fixed/selector factor nonzero there)
+        # must have been explicitly assigned (dev.rs:979+ analogue)
+        region_rows = set()
+        for _, lo, hi in self.a.regions:
+            region_rows.update(range(lo, min(hi + 1, usable)))
+        for gate in self.cs.gates:
+            queries = set()
+            gates_fixed = set()
+            for poly in gate.polys:
+                _collect_queries(poly, queries, gates_fixed)
+            if not gates_fixed:
+                continue
+            for row in sorted(region_rows):
+                active = any(
+                    self._cell("fixed", ci, row + rot) != 0
+                    for ci, rot in gates_fixed) or any(
+                    self.a.selectors[si][row] for si in _selectors_of(gate))
+                if not active:
+                    continue
+                for ci, rot in queries:
+                    r = (row + rot) % self.n
+                    if r < usable and not self.a.advice_assigned[ci][r]:
+                        failures.append(VerifyFailure(
+                            "unassigned", gate.name, r,
+                            f"advice[{ci}] queried by an active gate but "
+                            f"never assigned"))
 
         # dynamic lookups: each input row (theta-compressed tuple) must appear
         # in the table tuple set
@@ -184,7 +280,7 @@ class MockProver:
                     "permutation", f"{ca}={cb}", ra, f"{va} != {vb} (row {rb})"))
         return failures
 
-    def assert_satisfied(self) -> None:
+    def assert_satisfied(self) -> None:  # noqa: D102
         failures = self.verify()
         if failures:
             raise AssertionError(

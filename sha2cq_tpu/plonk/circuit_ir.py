@@ -455,6 +455,79 @@ class ConstraintSystem:
             sl.input_expressions = [e.map_nodes(sub) for e in sl.input_expressions]
         return polys
 
+    def compress_selectors_to_fixed(self, selector_activations: List[List[bool]],
+                                    max_allowed_degree: Optional[int] = None):
+        """Selector *packing* (reference compress_selectors.rs:352 parity):
+        mutually-exclusive selectors share one fixed column holding distinct
+        tags; each Selector node is substituted with the tag-interpolated
+        expression.  Returns the fixed-column value lists (field elements).
+
+        Degree budget defaults to the current constraint-system degree, so
+        packing never raises the quotient degree."""
+        from .compress_selectors import SelectorDescription, process
+
+        if not selector_activations:
+            self.selector_map = []
+            return []
+
+        one = Expression.const(1)
+
+        def degree_sans_selector(poly: Expression) -> int:
+            return poly.map_nodes(
+                lambda e: one if e.kind == "selector" else None).degree()
+
+        sel_deg = [0] * len(selector_activations)
+        for gate in self.gates:
+            for poly in gate.polys:
+                if not poly.contains_simple_selector():
+                    continue
+                d = degree_sans_selector(poly)
+                sels = set()
+
+                def walk(e):
+                    if e.kind == "selector":
+                        sels.add(e.value)
+                    if e.a is not None:
+                        walk(e.a)
+                    if e.b is not None:
+                        walk(e.b)
+
+                walk(poly)
+                for s_i in sels:
+                    sel_deg[s_i] = max(sel_deg[s_i], d)
+
+        budget = max_allowed_degree or max(self.degree(), 3)
+        descs = [SelectorDescription(i, acts, sel_deg[i])
+                 for i, acts in enumerate(selector_activations)]
+        columns, assignments = process(
+            descs, budget, Expression.const,
+            lambda a, b: Expression("prod", a=a, b=b),
+            lambda a, b: Expression("sum", a=a, b=Expression("neg", a=b)))
+
+        cols = [self.fixed_column() for _ in columns]
+        self.selector_map = [None] * len(selector_activations)
+        replacements: Dict[int, Expression] = {}
+        for asg in assignments:
+            col = cols[asg.combination_index]
+            self.selector_map[asg.selector] = col
+            qi = self.query_fixed_index(col, 0)
+            q = Expression("fixed", query_index=qi, column=col, rotation=0)
+            replacements[asg.selector] = asg.expression_factory(q)
+
+        def sub(e: Expression) -> Optional[Expression]:
+            if e.kind == "selector":
+                return replacements[e.value]
+            return None
+
+        for gate in self.gates:
+            gate.polys = [p.map_nodes(sub) for p in gate.polys]
+        for lk in self.lookups:
+            lk.input_expressions = [e.map_nodes(sub) for e in lk.input_expressions]
+            lk.table_expressions = [e.map_nodes(sub) for e in lk.table_expressions]
+        for sl in self.static_lookups:
+            sl.input_expressions = [e.map_nodes(sub) for e in sl.input_expressions]
+        return columns
+
     # -- degree accounting
     def degree(self) -> int:
         degree = self.permutation.required_degree()

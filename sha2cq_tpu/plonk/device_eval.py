@@ -214,17 +214,32 @@ def get_h_fn(pk):
 
 
 def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
-                     gamma, theta, lookups, static_lookups, permutations) -> Dict:
+                     gamma, theta, lookups, static_lookups, permutations,
+                     mesh=None) -> Dict:
     """Pack per-proof witness state into the h_fn input pytree (host->device
-    transfer happens once here)."""
+    transfer happens once here).
+
+    With a mesh, the (16, C, n) column stacks are placed sharded over the
+    row axis (jax.sharding.NamedSharding) — jit then partitions the whole
+    fused h computation across the mesh, with XLA/GSPMD inserting the
+    collectives for NTT permutations and rotations (SURVEY §2.4 mapping)."""
     import numpy as np
     n = pk.vk.domain.n
     cs = pk.vk.cs
 
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        sharding = NamedSharding(mesh, PartitionSpec(None, None, "x"))
+
     def stack(cols):
         if not cols:
-            return jnp.zeros((NLIMB, 0, n), dtype=D.U32)
-        return jnp.stack([D.pack(c, FR) for c in cols], axis=1)
+            out = jnp.zeros((NLIMB, 0, n), dtype=D.U32)
+        else:
+            out = jnp.stack([D.pack(c, FR) for c in cols], axis=1)
+        if sharding is not None:
+            out = jax.device_put(out, sharding)
+        return out
 
     z_cols = [s["lagrange"] for s in (permutations[0]["sets"] if permutations else [])]
     lk_cols = []

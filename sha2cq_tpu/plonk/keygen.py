@@ -137,13 +137,19 @@ def _synthesize(k: int, circuit, ctx: str):
     return cs, assembly
 
 
-def keygen_vk(params, circuit) -> VerifyingKey:
+def keygen_vk(params, circuit, compress_selectors: bool = False) -> VerifyingKey:
+    """compress_selectors packs mutually-exclusive selectors into shared
+    fixed columns (compress_selectors.rs parity); keygen_pk must be called
+    with the same flag."""
     cs, assembly = _synthesize(params.k, circuit, "verifier")
     degree = cs.degree()
     domain = EvaluationDomain(degree, params.k)
 
     fixed = [list(col) for col in assembly.fixed]
-    selector_polys = cs.convert_selectors_to_fixed(assembly.selectors)
+    if compress_selectors:
+        selector_polys = cs.compress_selectors_to_fixed(assembly.selectors)
+    else:
+        selector_polys = cs.convert_selectors_to_fixed(assembly.selectors)
     fixed.extend([[int(x) for x in poly] + [0] * (params.n - len(poly))
                   for poly in selector_polys])
 
@@ -158,13 +164,16 @@ def keygen_vk(params, circuit) -> VerifyingKey:
 
 
 def keygen_pk(params, static_table_configs: Dict[int, object], b0_g1_bound: List,
-              vk: VerifyingKey, circuit) -> ProvingKey:
+              vk: VerifyingKey, circuit, compress_selectors: bool = False) -> ProvingKey:
     cs, assembly = _synthesize(params.k, circuit, "prover")
     domain = vk.domain
     n = params.n
 
     fixed = [list(col) for col in assembly.fixed]
-    selector_polys = cs.convert_selectors_to_fixed(assembly.selectors)
+    if compress_selectors:
+        selector_polys = cs.compress_selectors_to_fixed(assembly.selectors)
+    else:
+        selector_polys = cs.convert_selectors_to_fixed(assembly.selectors)
     fixed.extend([[int(x) for x in poly] + [0] * (n - len(poly))
                   for poly in selector_polys])
 

@@ -105,8 +105,14 @@ class _WitnessCollection:
 
 def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                  rng=None, transcript: Optional[Blake2bWrite] = None,
-                 multiopen: str = "gwc", h_device: bool = False) -> bytes:
-    """instances: per-circuit list of per-column instance value lists."""
+                 multiopen: str = "gwc", h_device: bool = False,
+                 mesh=None) -> bytes:
+    """instances: per-circuit list of per-column instance value lists.
+
+    mesh: optional jax.sharding.Mesh — shards the fused device h-path over
+    the mesh's "x" axis (multi-chip proving; implies h_device)."""
+    if mesh is not None:
+        h_device = True
     rng = rng or _SystemRng()
     transcript = transcript or Blake2bWrite()
     cs = pk.vk.cs
@@ -259,7 +265,7 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
             pk, [adv["values"] for adv in advice_singles],
             [inst["values"] for inst in instance_singles],
             challenges_list, y, beta, gamma, theta,
-            lookups_committed, static_log, permutations)
+            lookups_committed, static_log, permutations, mesh=mesh)
         h_coeffs = Dv.unpack(h_fn(inputs), Dv.FR)
         vanishing = vanishing_construct_from_coeffs(
             vanishing, params, domain, h_coeffs, transcript)

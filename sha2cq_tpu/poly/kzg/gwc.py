@@ -61,15 +61,9 @@ def gwc_create_proof(params, queries: Sequence[ProverQuery], transcript: Blake2b
         poly_batch = list(poly_batch)
         poly_batch[0] = (poly_batch[0] - eval_batch) % P
         witness = A.kate_division(poly_batch, z)
-        w = params.commit(witness)
-        if w is None:
-            # the zero polynomial still must produce a transcript point;
-            # commit to it as [0]G1 is identity which can't be written --
-            # the reference would write identity too (can't); avoid by
-            # committing to the zero quotient of a blinded poly. In practice
-            # this cannot occur for honest non-trivial openings.
-            raise ValueError("identity opening witness")
-        transcript.write_point(w)
+        # the zero quotient commits to the identity; our transcript accepts
+        # it (all-zero encoding), so degenerate-but-valid openings work
+        transcript.write_point(params.commit(witness))
 
 
 def gwc_verify_proof(

@@ -39,11 +39,16 @@ class Blake2bWrite:
 
     # -- common (absorb-only) -------------------------------------------
     def common_point(self, pt: G1Affine) -> None:
-        if pt is None:
-            raise ValueError("cannot write points at infinity to the transcript")
+        # Identity commitments (all-zero encoding) are accepted and absorbed
+        # as (0, 0).  The reference errors here (transcript.rs coordinates()
+        # is None for the identity), which makes degenerate-but-valid proofs
+        # impossible (e.g. an identically-zero quotient piece of a tiny
+        # circuit, or a zero GWC opening witness); our compressed encoding
+        # round-trips the identity as 32 zero bytes, so we permit it.
         self._state.update(_PREFIX_POINT)
-        self._state.update(serde.fq_to_bytes(pt[0]))
-        self._state.update(serde.fq_to_bytes(pt[1]))
+        x, y = pt if pt is not None else (0, 0)
+        self._state.update(serde.fq_to_bytes(x))
+        self._state.update(serde.fq_to_bytes(y))
 
     def common_scalar(self, s: int) -> None:
         self._state.update(_PREFIX_SCALAR)
@@ -84,11 +89,16 @@ class Blake2bRead:
         return out
 
     def common_point(self, pt: G1Affine) -> None:
-        if pt is None:
-            raise ValueError("cannot write points at infinity to the transcript")
+        # Identity commitments (all-zero encoding) are accepted and absorbed
+        # as (0, 0).  The reference errors here (transcript.rs coordinates()
+        # is None for the identity), which makes degenerate-but-valid proofs
+        # impossible (e.g. an identically-zero quotient piece of a tiny
+        # circuit, or a zero GWC opening witness); our compressed encoding
+        # round-trips the identity as 32 zero bytes, so we permit it.
         self._state.update(_PREFIX_POINT)
-        self._state.update(serde.fq_to_bytes(pt[0]))
-        self._state.update(serde.fq_to_bytes(pt[1]))
+        x, y = pt if pt is not None else (0, 0)
+        self._state.update(serde.fq_to_bytes(x))
+        self._state.update(serde.fq_to_bytes(y))
 
     def common_scalar(self, s: int) -> None:
         self._state.update(_PREFIX_SCALAR)

@@ -71,3 +71,90 @@ def test_circuit_cost():
     # shplonk always has 2 multiopen commitments
     cost2 = CircuitCost.measure(3, SimpleCircuit, multiopen="shplonk")
     assert cost2.multiopen_commitments == 2
+
+
+def test_mock_prover_challenge_phases():
+    """MockProver supports multi-phase challenges (reference MockProver does
+    not); a circuit consuming the challenge in the WRONG phase produces
+    garbage witnesses and must fail."""
+    from sha2cq_tpu.circuit import Value
+    from sha2cq_tpu.dev.mock_prover import MockProver
+    from sha2cq_tpu.plonk.circuit_ir import ConstraintSystem, FIRST_PHASE, SECOND_PHASE
+
+    class ChallengeCircuit:
+        # b (phase 1) must equal a (phase 0) * challenge c
+        MISPHASED = False
+
+        @classmethod
+        def configure(cls, meta: ConstraintSystem):
+            a = meta.advice_column(FIRST_PHASE)
+            b = meta.advice_column(SECOND_PHASE)
+            q = meta.fixed_column()
+            ch = meta.challenge_usable_after(FIRST_PHASE)
+            meta.create_gate("b=a*c", lambda cells: [
+                cells.query_fixed(q, 0)
+                * (cells.query_advice(b, 0)
+                   - cells.query_advice(a, 0) * cells.query_challenge(ch))
+            ])
+            return {"a": a, "b": b, "q": q, "ch": ch}
+
+        def __init__(self, a_val):
+            self.a_val = a_val
+
+        def synthesize(self, cfg, layouter):
+            misphased = type(self).MISPHASED
+
+            def assign(region):
+                region.assign_fixed(cfg["q"], 0, Value.known(1))
+                region.assign_advice(cfg["a"], 0, Value.known(self.a_val))
+                # phase-aware witness: b computable only once c is revealed
+                cv = region.get_challenge(cfg["ch"])
+                if misphased:
+                    # wrong: commit a guess for b before c is known
+                    region.assign_advice(cfg["b"], 0, Value.known(12345))
+                else:
+                    b = cv.map(lambda c: self.a_val * c % FR_MOD)
+                    region.assign_advice(cfg["b"], 0,
+                                         b if b.is_known() else Value.known(0))
+
+            layouter.assign_region("r", assign)
+
+    ok = ChallengeCircuit(7)
+    MockProver.run(4, ok, []).assert_satisfied()
+
+    ChallengeCircuit.MISPHASED = True
+    bad = ChallengeCircuit(7)
+    failures = MockProver.run(4, bad, []).verify()
+    ChallengeCircuit.MISPHASED = False
+    assert any(f.kind == "gate" for f in failures), "mis-phased challenge must fail"
+
+
+def test_mock_prover_unassigned_cell():
+    """An advice cell queried by an active gate but never assigned is
+    reported (cell-coverage analogue of dev.rs:979+)."""
+    from sha2cq_tpu.circuit import Value
+    from sha2cq_tpu.dev.mock_prover import MockProver
+    from sha2cq_tpu.plonk.circuit_ir import ConstraintSystem
+
+    class Incomplete:
+        @classmethod
+        def configure(cls, meta: ConstraintSystem):
+            a = meta.advice_column()
+            b = meta.advice_column()
+            q = meta.fixed_column()
+            meta.create_gate("a=b", lambda cells: [
+                cells.query_fixed(q, 0)
+                * (cells.query_advice(a, 0) - cells.query_advice(b, 0))
+            ])
+            return {"a": a, "b": b, "q": q}
+
+        def synthesize(self, cfg, layouter):
+            def assign(region):
+                region.assign_fixed(cfg["q"], 0, Value.known(1))
+                region.assign_advice(cfg["a"], 0, Value.known(0))
+                # b never assigned: gate is satisfied (0 == 0 default) but
+                # coverage must flag it
+            layouter.assign_region("r", assign)
+
+    failures = MockProver.run(4, Incomplete(), []).verify()
+    assert any(f.kind == "unassigned" for f in failures)

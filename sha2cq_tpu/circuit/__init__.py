@@ -221,3 +221,148 @@ class SimpleFloorPlanner:
     def synthesize(assignment, circuit, config, constants: List[Column]):
         layouter = SingleChipLayouter(assignment, constants)
         return circuit.synthesize(config, layouter)
+
+
+# --------------------------- V1 floor planner --------------------------------
+
+class _RegionShape:
+    def __init__(self, name):
+        self.name = name
+        self.columns: set = set()
+        self.rows = 0
+
+
+class _ShapeRegion:
+    """Measure-pass region: records the columns touched and the row extent;
+    assignments never reach the sink (reference circuit/layouter.rs
+    RegionShape)."""
+
+    def __init__(self, shape: _RegionShape, region_index: int):
+        self._shape = shape
+        self.region_index = region_index
+
+    def _touch(self, column, offset: int):
+        self._shape.columns.add(column)
+        self._shape.rows = max(self._shape.rows, offset + 1)
+
+    def assign_advice(self, column, offset, value) -> AssignedCell:
+        self._touch(column, offset)
+        return AssignedCell(Cell(self.region_index, offset, column), value)
+
+    def assign_advice_from_constant(self, column, offset, constant) -> AssignedCell:
+        return self.assign_advice(column, offset, Value.known(constant))
+
+    def assign_fixed(self, column, offset, value) -> AssignedCell:
+        self._touch(column, offset)
+        return AssignedCell(Cell(self.region_index, offset, column), value)
+
+    def assign_advice_from_instance(self, instance, instance_row, advice, offset):
+        return self.assign_advice(advice, offset, Value.unknown())
+
+    def enable_selector(self, selector, offset) -> None:
+        self._shape.rows = max(self._shape.rows, offset + 1)
+
+    def constrain_equal(self, a, b) -> None:
+        pass
+
+    def constrain_constant(self, cell, constant) -> None:
+        pass
+
+    def get_challenge(self, challenge) -> Value:
+        return Value.unknown()
+
+
+class _ShapeLayouter:
+    """Measure pass: collects region shapes, performs no assignments."""
+
+    def __init__(self, assignment):
+        self.assignment = assignment
+        self.regions: List[_RegionShape] = []
+
+    def assign_region(self, name, f):
+        shape = _RegionShape(name)
+        index = len(self.regions)
+        self.regions.append(shape)
+        return f(_ShapeRegion(shape, index))
+
+    def assign_table(self, name, f):
+        pass  # tables are pinned at row 0; assigned in the second pass
+
+    def constrain_instance(self, cell, instance, row) -> None:
+        pass
+
+    def register_static_table(self, table_id, table) -> None:
+        pass
+
+    def next_phase(self) -> None:
+        pass
+
+
+def slot_in_biggest_first(shapes: List[_RegionShape]) -> List[int]:
+    """v1/strategy.rs:265 analogue: place regions biggest-first at the
+    earliest start where none of their columns overlap an already-placed
+    region; returns per-region start rows in original region order."""
+    order = sorted(range(len(shapes)), key=lambda i: -(len(shapes[i].columns)
+                                                       * shapes[i].rows))
+    col_intervals: dict = {}
+    starts = [0] * len(shapes)
+    for i in order:
+        shape = shapes[i]
+        start = 0
+        while True:
+            end = start + shape.rows
+            clash = None
+            for col in shape.columns:
+                for (lo, hi) in col_intervals.get(col, ()):
+                    if lo < end and start < hi:
+                        clash = hi
+                        break
+                if clash is not None:
+                    break
+            if clash is None:
+                break
+            start = clash
+        starts[i] = start
+        for col in shape.columns:
+            col_intervals.setdefault(col, []).append((start, start + shape.rows))
+    return starts
+
+
+class _PlannedLayouter(SingleChipLayouter):
+    """Assignment pass with predetermined region start rows."""
+
+    def __init__(self, assignment, constants, starts: List[int]):
+        super().__init__(assignment, constants)
+        self._starts = starts
+
+    def assign_region(self, name, f):
+        index = len(self.region_starts)
+        start = self._starts[index]
+        self.region_starts.append(start)
+        self.assignment.enter_region(name)
+        region = Region(self, index, start)
+        result = f(region)
+        self.assignment.exit_region()
+        self.cursor = max(self.cursor, start + region.rows_used)
+        return result
+
+
+class V1FloorPlanner:
+    """Two-pass floor planner (reference floor_planner/v1.rs + v1/strategy.rs):
+    measure every region's column/row footprint, slot regions biggest-first
+    into the earliest rows where their columns are free (column-disjoint
+    regions overlap in rows), then synthesize for real at the planned starts."""
+
+    @staticmethod
+    def synthesize(assignment, circuit, config, constants: List[Column]):
+        shape_l = _ShapeLayouter(assignment)
+        circuit.synthesize(config, shape_l)
+        starts = slot_in_biggest_first(shape_l.regions)
+        layouter = _PlannedLayouter(assignment, constants, starts)
+        return circuit.synthesize(config, layouter)
+
+
+def planner_for(circuit):
+    """The circuit's floor planner (FLOOR_PLANNER class attribute, default
+    SimpleFloorPlanner) — reference Circuit::FloorPlanner associated type."""
+    return getattr(type(circuit), "FLOOR_PLANNER", SimpleFloorPlanner)

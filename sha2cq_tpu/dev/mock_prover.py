@@ -22,7 +22,7 @@ import hashlib
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from ..circuit import SimpleFloorPlanner, Value
+from ..circuit import SimpleFloorPlanner, Value, planner_for
 from ..fields.host import FR_MOD
 from ..plonk.circuit_ir import Column, ConstraintSystem, Expression, Selector, StaticTableId
 
@@ -155,7 +155,7 @@ class MockProver:
         # challenge values after each phase (mirrors prover.rs:299-391)
         for phase in cs.phases():
             assignment.regions.clear()
-            SimpleFloorPlanner.synthesize(assignment, circuit, config, cs.constants)
+            planner_for(circuit).synthesize(assignment, circuit, config, cs.constants)
             for ch_idx, ch_phase in enumerate(cs.challenge_phase):
                 if ch_phase == phase + 1 and ch_idx not in assignment.challenges:
                     digest = hashlib.blake2b(

@@ -18,7 +18,7 @@ from .circuit_ir import Column, ConstraintSystem, Selector, StaticTableId
 from .keys import PermutationProvingKey, ProvingKey, VerifyingKey
 from .static_tables import StaticTable
 
-from ..circuit import SimpleFloorPlanner, Value
+from ..circuit import SimpleFloorPlanner, planner_for, Value
 
 P = FR_MOD
 
@@ -133,7 +133,7 @@ def _synthesize(k: int, circuit, ctx: str):
     if n < cs.minimum_rows():
         raise ValueError(f"k = {k} too small for this circuit")
     assembly = _Assembly(k, cs, ctx)
-    SimpleFloorPlanner.synthesize(assembly, circuit, config, cs.constants)
+    planner_for(circuit).synthesize(assembly, circuit, config, cs.constants)
     return cs, assembly
 
 

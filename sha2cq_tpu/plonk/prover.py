@@ -20,7 +20,7 @@ from __future__ import annotations
 import secrets
 from typing import List, Optional, Sequence
 
-from ..circuit import SimpleFloorPlanner, Value
+from ..circuit import SimpleFloorPlanner, Value, planner_for
 from ..fields.host import FR_MOD
 from ..poly import arith as A
 from ..poly.kzg.gwc import ProverQuery, gwc_create_proof
@@ -165,7 +165,7 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
         for c_idx, circuit in enumerate(circuits):
             witness = witnesses[c_idx]
             witness.current_phase = phase
-            SimpleFloorPlanner.synthesize(
+            planner_for(circuit).synthesize(
                 witness, circuit, configs[c_idx], cs.constants)
             for col_idx, col_phase in enumerate(cs.advice_column_phase):
                 if col_phase != phase:

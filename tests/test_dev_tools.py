@@ -158,3 +158,16 @@ def test_mock_prover_unassigned_cell():
 
     failures = MockProver.run(4, Incomplete(), []).verify()
     assert any(f.kind == "unassigned" for f in failures)
+
+
+def test_layout_renderer():
+    """dev/layout.py (dev-graph parity): SVG + text occupancy rendering."""
+    from sha2cq_tpu.dev.layout import render_svg, render_text
+    from tests.test_plonk_api import ApiCircuit, _inputs
+
+    a, b = _inputs()
+    circuit = ApiCircuit(a, b)
+    svg = render_svg(5, circuit)
+    assert svg.startswith("<svg") and "rows" in svg  # region name present
+    txt = render_text(5, circuit)
+    assert "a" in txt.splitlines()[1]  # advice cells marked on row 0

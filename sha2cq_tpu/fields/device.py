@@ -221,30 +221,36 @@ def mont_mul(a, b, ctx: FieldCtx = FR):
     accumulation, followed by digit-wise Montgomery reduction
     (operand-scanning REDC with base 2^16).  Column magnitudes stay < 2^23.
 
-    Structured as 16 row-slice accumulations (one per limb of `a`), not 256
-    scalar products, to keep the HLO trace small — the MSM/NTT scan networks
-    instantiate this body dozens of times.
+    Columns are held as individual (batch,) arrays ("registers") rather than
+    one (33, batch) array updated with dynamic-update-slices: the .at[]-based
+    formulation measured 28 M mul/s on v5e because every slice update
+    round-trips the whole accumulator; the register form lets XLA keep
+    columns in vector registers and fuse the adds.
     """
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a = jnp.broadcast_to(a, (NLIMB, *batch))
     b = jnp.broadcast_to(b, (NLIMB, *batch))
-    t = jnp.zeros((2 * NLIMB + 1, *batch), dtype=U32)
+    zero = jnp.zeros(batch, dtype=U32)
+    cols = [zero] * (2 * NLIMB + 1)
     for i in range(NLIMB):
         pij = a[i][None, ...] * b            # (16, batch) exact u32 products
-        t = t.at[i:i + NLIMB].add(pij & MASK)
-        t = t.at[i + 1:i + NLIMB + 1].add(pij >> LIMB_BITS)
+        los = pij & MASK
+        his = pij >> LIMB_BITS
+        for j in range(NLIMB):
+            cols[i + j] = cols[i + j] + los[j]
+            cols[i + j + 1] = cols[i + j + 1] + his[j]
     # REDC: 16 digit steps
     n0 = np.uint32(ctx.n0)
-    pcol = jnp.stack([jnp.full((1,) * len(batch), np.uint32(int(x)), dtype=U32)
-                      for x in ctx.p_limbs])
+    plimb = [np.uint32(int(x)) for x in ctx.p_limbs]
     for i in range(NLIMB):
-        m = (t[i] * n0) & MASK
-        mp = m[None, ...] * pcol
-        t = t.at[i:i + NLIMB].add(mp & MASK)
-        t = t.at[i + 1:i + NLIMB + 1].add(mp >> LIMB_BITS)
-        # t[i] is now 0 mod 2^16; push its carry up
-        t = t.at[i + 1].add(t[i] >> LIMB_BITS)
-    res_cols = [t[NLIMB + i] for i in range(NLIMB + 1)]
+        m = (cols[i] * n0) & MASK
+        for j in range(NLIMB):
+            mp = m * plimb[j]
+            cols[i + j] = cols[i + j] + (mp & MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (mp >> LIMB_BITS)
+        # cols[i] is now 0 mod 2^16; push its carry up
+        cols[i + 1] = cols[i + 1] + (cols[i] >> LIMB_BITS)
+    res_cols = [cols[NLIMB + i] for i in range(NLIMB + 1)]
     limbs, carry = _carry_canonicalize(res_cols, NLIMB + 1)
     # result < 2p fits in 16 limbs; limbs[16] must be zero
     limbs = limbs[:NLIMB]

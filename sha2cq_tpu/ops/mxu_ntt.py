@@ -137,8 +137,10 @@ def _twiddle_tensor(omega: int, m2: int, m1: int, p_name: str):
 
 @functools.lru_cache(maxsize=64)
 def get_plan(n: int, omega: int, p_name: str = "Fr",
-             max_m: int = MAX_MATMUL) -> NttPlan:
-    """Build (and cache) the device-array plan for a size-n NTT at omega."""
+             max_m: int = MAX_MATMUL):
+    """Build (and cache) the device-array plan for a size-n NTT at omega.
+    Returns (NttPlan, res_omega) — res_omega non-None when the residual
+    level runs as VPU butterflies instead of a digit matmul."""
     ctx = FR if p_name == "Fr" else D.FQ
     omega %= ctx.p
     twiddles: List[jnp.ndarray] = []
@@ -151,12 +153,20 @@ def get_plan(n: int, omega: int, p_name: str = "Fr",
             base = _dft_digit_matrix(m2, pow(w, m1, ctx.p), ctx.name)
         twiddles.append(_twiddle_tensor(w, m2, m1, ctx.name))
         m, w = m1, pow(w, m2, ctx.p)
+    if m <= 8 and twiddles:
+        # tiny residual: butterflies, no matrix needed (placeholder = base);
+        # the residual omega travels OUTSIDE the plan pytree (it must stay a
+        # static Python int for the host-side twiddle pow in _dft_small)
+        res = base
+        return NttPlan(base_mat=base[0], base_rowsum=base[1],
+                       res_mat=res[0], res_rowsum=res[1],
+                       twiddles=tuple(twiddles)), w
     res = _dft_digit_matrix(m, w, ctx.name)
     if base is None:
         base = res
     return NttPlan(base_mat=base[0], base_rowsum=base[1],
                    res_mat=res[0], res_rowsum=res[1],
-                   twiddles=tuple(twiddles))
+                   twiddles=tuple(twiddles)), None
 
 
 @functools.lru_cache(maxsize=8)
@@ -270,12 +280,39 @@ def _dft_matmul(a: jnp.ndarray, mat: jnp.ndarray, rowsum: jnp.ndarray,
     return _planes_to_limbs(O.reshape(NDIG, m, B), ctx)
 
 
+def _dft_small(a: jnp.ndarray, omega: int, ctx) -> jnp.ndarray:
+    """Tiny-m DFT (m <= 8) as radix-2 butterflies along axis 1 — cheaper
+    than a digit-matmul pass for the residual level of big sizes (the k=20
+    plan ends at m=4, where digit conversion dominated a matmul).  Inputs
+    must be canonical (< p); they are, coming from the twiddle mont_mul."""
+    m, B = a.shape[1], a.shape[2]
+    k = m.bit_length() - 1
+    # bit-reverse along axis 1 (m tiny: host-computed permutation)
+    perm = [int(f"{i:0{k}b}"[::-1], 2) if k else 0 for i in range(m)]
+    a = a[:, jnp.asarray(perm, dtype=jnp.int32), :]
+    for s in range(k):
+        half = 1 << s
+        blocks = m >> (s + 1)
+        v = a.reshape(NLIMB, blocks, 2, half, B)
+        top = v[:, :, 0]
+        bot = v[:, :, 1]
+        tw_exps = [(j * (m >> (s + 1))) % m for j in range(half)]
+        tws = D.pack([pow(omega, e, ctx.p) for e in tw_exps], ctx)  # (16, half)
+        t = D.mont_mul(bot, tws[:, None, :, None], ctx)
+        a = jnp.stack([D.add(top, t, ctx), D.sub(top, t, ctx)], axis=2) \
+            .reshape(NLIMB, m, B)
+    return a
+
+
 def _dft_axis1(a: jnp.ndarray, plan: NttPlan, level: int, ctx,
-               max_m: int) -> jnp.ndarray:
+               max_m: int, res_omega=None) -> jnp.ndarray:
     """DFT over axis 1 (size m) of a (16, m, B) limb array; relaxed output.
-    level indexes plan.twiddles; the last level uses the residual matrix."""
+    level indexes plan.twiddles; the last level uses the residual matrix
+    (or VPU butterflies when res_omega is given and m is tiny)."""
     m, B = a.shape[1], a.shape[2]
     if level == len(plan.twiddles):
+        if res_omega is not None:
+            return _dft_small(a, res_omega, ctx)
         return _dft_matmul(a, plan.res_mat, plan.res_rowsum, ctx)
     m2 = max_m
     m1 = m // m2
@@ -286,16 +323,16 @@ def _dft_axis1(a: jnp.ndarray, plan: NttPlan, level: int, ctx,
     tw = plan.twiddles[level][..., None]                      # (16, m2, m1, 1)
     f = D.mont_mul(f, tw, ctx)                                # canonical < p
     f = jnp.transpose(f, (0, 2, 1, 3)).reshape(NLIMB, m1, m2 * B)
-    g = _dft_axis1(f, plan, level + 1, ctx, max_m)            # [k1, (k2, B)]
+    g = _dft_axis1(f, plan, level + 1, ctx, max_m, res_omega)  # [k1, (k2, B)]
     return g.reshape(NLIMB, m1 * m2, B)                       # k = k1*m2 + k2
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _mxu_ntt_jit(a: jnp.ndarray, plan: NttPlan, max_m: int,
-                 p_name: str) -> jnp.ndarray:
+                 p_name: str, res_omega) -> jnp.ndarray:
     ctx = FR if p_name == "Fr" else D.FQ
     n = a.shape[1]
-    out = _dft_axis1(a.reshape(NLIMB, n, 1), plan, 0, ctx, max_m)
+    out = _dft_axis1(a.reshape(NLIMB, n, 1), plan, 0, ctx, max_m, res_omega)
     return _canonicalize(out.reshape(NLIMB, n), ctx)
 
 
@@ -303,14 +340,14 @@ def mxu_ntt(a: jnp.ndarray, omega: int, k: int, max_m: int = MAX_MATMUL,
             ctx=FR) -> jnp.ndarray:
     """Forward NTT of a (16, n) Montgomery-limb array: coeffs -> evals in
     natural order (same contract as ops/ntt.ntt)."""
-    plan = get_plan(1 << k, omega % ctx.p, ctx.name, max_m)
-    return _mxu_ntt_jit(a, plan, max_m, ctx.name)
+    plan, res_omega = get_plan(1 << k, omega % ctx.p, ctx.name, max_m)
+    return _mxu_ntt_jit(a, plan, max_m, ctx.name, res_omega)
 
 
 def mxu_intt(a: jnp.ndarray, omega_inv: int, k: int, divisor_inv: int,
              max_m: int = MAX_MATMUL, ctx=FR) -> jnp.ndarray:
     """Inverse NTT: evals -> coeffs scaled by divisor_inv (= 1/n)."""
-    plan = get_plan(1 << k, omega_inv % ctx.p, ctx.name, max_m)
-    out = _mxu_ntt_jit(a, plan, max_m, ctx.name)
+    plan, res_omega = get_plan(1 << k, omega_inv % ctx.p, ctx.name, max_m)
+    out = _mxu_ntt_jit(a, plan, max_m, ctx.name, res_omega)
     d = D.pack_scalar(divisor_inv, ctx).reshape(NLIMB, 1)
     return D.mont_mul(out, d, ctx)

@@ -196,9 +196,15 @@ def static_lookup_register_pairings(ev: dict, vk, params, batcher, beta, theta) 
     # m - beta * a
     m_minus_beta_a = CH.g1_add(ev["m"], CH.g1_neg(CH.g1_mul(ev["a"], beta)))
     a_at_zero_cm = CH.g1_mul(CH.G1_GEN, ev["a_at_zero"])
-    table_t = None
-    for table in tables:
-        table_t = CH.g2_add(CH.g2_mul(table_t, theta) if table_t else None, table.t)
+    # theta-compress the table G2 commitments as one small G2 MSM
+    # (native kernel; the per-table Python g2_mul chain dominated verify)
+    from ..native_loader import native_g2_msm
+    thetas = [pow(theta, len(tables) - 1 - i, FR_MOD) for i in range(len(tables))]
+    table_t = native_g2_msm(thetas, [t.t for t in tables])
+    if table_t is None:
+        for table in tables:
+            table_t = CH.g2_add(
+                CH.g2_mul(table_t, theta) if table_t else None, table.t)
     batcher.add_pairing([
         (ev["a"], table_t),
         (CH.g1_neg(ev["qa"]), tables[0].zv),

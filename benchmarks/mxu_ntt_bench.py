@@ -22,9 +22,10 @@ def main():
         a = D.pack(vals, D.FR)
 
         t0 = time.perf_counter()
-        plan = MX.get_plan(n, omega)
+        plan, res_omega = MX.get_plan(n, omega)
         print(f"k={k}: plan build {time.perf_counter()-t0:.1f}s "
-              f"(base {plan.base_mat.shape}, res {plan.res_mat.shape}, "
+              f"(base {plan.base_mat.shape}, res "
+              f"{'butterfly' if res_omega else plan.res_mat.shape}, "
               f"{len(plan.twiddles)} twiddle levels)")
 
         # warm (compile + matrix upload)

@@ -33,11 +33,17 @@ from ..fields import device as D
 from ..fields import host as H
 from ..fields.device import FQ, NLIMB, U32
 
-# Below this size the host (native C / Jacobian int) Pippenger beats device
-# dispatch.  The scan-formulation device MSM is currently dispatch/fusion
-# bound (~100x off roofline — Pallas bucket kernel is the round-2 redesign),
-# so production commitments stay on the native path; call msm_device
-# explicitly to exercise/bench the TPU path.
+# Below this size the host (native C / OpenMP) Pippenger beats the device.
+# Round-2 measurements settled WHY: v5e has no native 32-bit integer
+# multiply — the VPU runs uint32 mul+add at ~300 Gop/s (emulated), giving
+# ~45 M Montgomery muls/s, so a fused-scan device MSM lands at 0.57 s /
+# 3.0 s for 2^12 / 2^14 vs 0.12 s / 0.36 s on the 4-core native Pippenger
+# (benchmarks/msm_bench.py).  Pippenger is integer-multiply bound and has
+# no matmul shape, so it cannot ride the MXU the way the NTT does
+# (ops/mxu_ntt.py); commitments therefore run on the native host layer of
+# the framework by design, and the TPU carries the MXU-shaped work
+# (basis conversions, h evaluation).  msm_device stays available for
+# benchmarking and for future mesh-sharded table preprocessing.
 HOST_THRESHOLD = 1 << 20
 
 

@@ -220,17 +220,22 @@ def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
     transfer happens once here).
 
     With a mesh, the (16, C, n) column stacks are placed sharded over the
-    row axis (jax.sharding.NamedSharding) — jit then partitions the whole
-    fused h computation across the mesh, with XLA/GSPMD inserting the
-    collectives for NTT permutations and rotations (SURVEY §2.4 mapping)."""
+    COLUMN axis (jax.sharding.NamedSharding) — jit then partitions the whole
+    fused h computation across the mesh.  Column sharding keeps every NTT
+    device-local (GSPMD partitioning of the butterfly gathers over the row
+    axis measured 12+ minutes of compile) and matches the reference's
+    per-column rayon parallelism (SURVEY §2.4); collectives appear only at
+    the y-fold accumulation joins."""
     import numpy as np
     n = pk.vk.domain.n
     cs = pk.vk.cs
 
     sharding = None
+    ndev = 1
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
-        sharding = NamedSharding(mesh, PartitionSpec(None, None, "x"))
+        sharding = NamedSharding(mesh, PartitionSpec(None, "x", None))
+        ndev = mesh.devices.size
 
     def stack(cols):
         if not cols:
@@ -238,6 +243,12 @@ def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
         else:
             out = jnp.stack([D.pack(c, FR) for c in cols], axis=1)
         if sharding is not None:
+            # pad the column axis to a multiple of the mesh size (consumers
+            # index columns by position, so zero columns at the end are inert)
+            pad = (-out.shape[1]) % ndev
+            if pad:
+                out = jnp.concatenate(
+                    [out, jnp.zeros((NLIMB, pad, n), dtype=D.U32)], axis=1)
             out = jax.device_put(out, sharding)
         return out
 

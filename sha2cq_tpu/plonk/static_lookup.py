@@ -61,10 +61,19 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
     else:
         # joint-tuple resolution: some table has repeated values (e.g. the
         # SHA rot/maj column-tables); the row index is determined by the
-        # tuple across all component tables
-        joint = {}
-        for i in range(tables[0].size):
-            joint[tuple(t.values[i] for t in tables)] = i
+        # tuple across all component tables.  The map is built once per
+        # argument and cached on the pk (it has up to 2^18 entries and the
+        # 32-bit SHA circuit runs ~40 lookup arguments per proof).
+        cache = getattr(pk, "_joint_maps", None)
+        if cache is None:
+            cache = pk._joint_maps = {}
+        key = tuple(id(t) for t in tables)
+        joint = cache.get(key)
+        if joint is None:
+            joint = {}
+            for i in range(tables[0].size):
+                joint[tuple(t.values[i] for t in tables)] = i
+            cache[key] = joint
         for row in range(usable_rows):
             key = tuple(vals[row] for vals in evaluated)
             index = joint.get(key)

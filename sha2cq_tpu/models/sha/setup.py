@@ -87,7 +87,7 @@ def build_sha_setup(l: Limbs, circuit_n: int, s: int, cache: bool = True):
             with open(cache_path, "rb") as f:
                 return pickle.load(f)
 
-    result = _build_sha_setup_uncached(l, circuit_n, s)
+    result = _build_sha_setup_uncached(l, circuit_n, s, cache_path)
     if cache_path:
         with open(cache_path + ".tmp", "wb") as f:
             pickle.dump(result, f, protocol=4)
@@ -95,7 +95,8 @@ def build_sha_setup(l: Limbs, circuit_n: int, s: int, cache: bool = True):
     return result
 
 
-def _build_sha_setup_uncached(l: Limbs, circuit_n: int, s: int):
+def _build_sha_setup_uncached(l: Limbs, circuit_n: int, s: int,
+                              cache_path: str = None):
     w = l.word_len
     specs = {
         "dsum": (_column_tables(create_decomposition_table(l, w + 3), ("a", "x", "y", "z"))),
@@ -112,6 +113,13 @@ def _build_sha_setup_uncached(l: Limbs, circuit_n: int, s: int):
     srs_len = max(max_size, circuit_n)
     srs = TableSRS.setup_from_toxic_waste(srs_len - 1, srs_len, s)
 
+    import os
+    import pickle
+    tdir = None
+    if cache_path:
+        tdir = cache_path + ".tables"
+        os.makedirs(tdir, exist_ok=True)
+
     static_tables: Dict[str, Dict[str, StaticTable]] = {}
     sizes = set()
     for tname, columns in specs.items():
@@ -119,9 +127,19 @@ def _build_sha_setup_uncached(l: Limbs, circuit_n: int, s: int):
         size = len(columns["a"])
         sizes.add(size)
         for comp, values in columns.items():
+            tpath = os.path.join(tdir, f"{tname}_{comp}.pkl") if tdir else None
+            if tpath and os.path.exists(tpath):
+                with open(tpath, "rb") as f:
+                    static_tables[tname][comp] = pickle.load(f)
+                continue
             tv = StaticTableValues(values, srs.g1)
             committed = tv.commit(srs_len, srs.g2, circuit_n)
-            static_tables[tname][comp] = StaticTable(opened=tv, committed=committed)
+            entry = StaticTable(opened=tv, committed=committed)
+            static_tables[tname][comp] = entry
+            if tpath:
+                with open(tpath + ".tmp", "wb") as f:
+                    pickle.dump(entry, f, protocol=4)
+                os.replace(tpath + ".tmp", tpath)
 
     configs = {size: config_from_s(s, size) for size in sizes}
     b0_g1_bound = srs.g1[srs_len - circuit_n + 1:]

@@ -41,18 +41,35 @@ def build_sha256_setup(s: HalfScheme, circuit_n: int, secret: int,
     srs_len = max(max_size, circuit_n)
     srs = TableSRS.setup_from_toxic_waste(srs_len - 1, srs_len, secret)
 
+    # per-table checkpointing: each preprocessed column is cached on its own,
+    # so an interrupted multi-hour build resumes where it stopped
+    tdir = None
+    if cache_path:
+        tdir = cache_path + ".tables"
+        os.makedirs(tdir, exist_ok=True)
+
     static_tables: Dict[str, Dict[str, StaticTable]] = {}
     sizes = set()
     for fam, columns in specs.items():
         static_tables[fam] = {}
         for comp, values in columns.items():
             sizes.add(len(values))
+            tpath = os.path.join(tdir, f"{fam}_{comp}.pkl") if tdir else None
+            if tpath and os.path.exists(tpath):
+                with open(tpath, "rb") as f:
+                    static_tables[fam][comp] = pickle.load(f)
+                continue
             if progress:
                 import time
                 t0 = time.time()
             tv = StaticTableValues(values, srs.g1)
             committed = tv.commit(srs_len, srs.g2, circuit_n)
-            static_tables[fam][comp] = StaticTable(opened=tv, committed=committed)
+            entry = StaticTable(opened=tv, committed=committed)
+            static_tables[fam][comp] = entry
+            if tpath:
+                with open(tpath + ".tmp", "wb") as f:
+                    pickle.dump(entry, f, protocol=4)
+                os.replace(tpath + ".tmp", tpath)
             if progress:
                 print(f"  table {fam}.{comp} ({len(values)} rows): "
                       f"{time.time() - t0:.1f}s", flush=True)

@@ -88,12 +88,9 @@ def _from_u64s(arr, off: int) -> int:
 
 def _pack_jac(points) -> "ctypes.Array":
     """points: list of host Jacobian tuples (X, Y, Z) ints."""
-    buf = (ctypes.c_uint64 * (12 * len(points)))()
-    for i, (x, y, z) in enumerate(points):
-        vals = _u64s(x) + _u64s(y) + _u64s(z)
-        for j, v in enumerate(vals):
-            buf[12 * i + j] = v
-    return buf
+    raw = b"".join(x.to_bytes(32, "little") + y.to_bytes(32, "little")
+                   + z.to_bytes(32, "little") for (x, y, z) in points)
+    return (ctypes.c_uint64 * (12 * len(points))).from_buffer_copy(raw)
 
 
 def _unpack_jac(buf, i: int = 0):
@@ -119,12 +116,8 @@ def native_msm(scalars: List[int], points_jac) -> Optional[tuple]:
         return None
     n = len(scalars)
     pin = _pack_jac(points_jac)
-    sc = (ctypes.c_uint64 * (4 * n))()
-    for i, s in enumerate(scalars):
-        for j, v in enumerate(_u64s(s)):
-            sc[4 * i + j] = v
     out = (ctypes.c_uint64 * 12)()
-    lib.g1_msm(pin, sc, ctypes.c_long(n), out)
+    lib.g1_msm(pin, _pack_scalars(scalars), ctypes.c_long(n), out)
     return _unpack_jac(out)
 
 
@@ -134,36 +127,35 @@ def native_batch_scalar_mul(points_jac, scalars: List[int]):
         return None
     n = len(scalars)
     pin = _pack_jac(points_jac)
-    sc = (ctypes.c_uint64 * (4 * n))()
-    for i, s in enumerate(scalars):
-        for j, v in enumerate(_u64s(s)):
-            sc[4 * i + j] = v
     out = (ctypes.c_uint64 * (12 * n))()
-    lib.g1_batch_scalar_mul(pin, sc, ctypes.c_long(n), out)
-    return [_unpack_jac(out, i) for i in range(n)]
+    lib.g1_batch_scalar_mul(pin, _pack_scalars(scalars), ctypes.c_long(n), out)
+    raw = bytes(out)
+    return [tuple(int.from_bytes(raw[96 * i + 32 * c: 96 * i + 32 * c + 32],
+                                 "little") for c in range(3))
+            for i in range(n)]
 
 
 # ------------------- numpy-fast marshalling (bulk group NTT) -----------------
 
 def _np_u64_limbs(ints, nlimb: int):
-    """list of python ints -> (n, nlimb) uint64 array (vectorized)."""
+    """list of python ints -> (n, nlimb) uint64 array.
+
+    int.to_bytes runs at C speed (~100 ns), so serializing through a byte
+    buffer is ~100x faster than object-array shifts + int() per limb — the
+    object-array version was minutes per 2^20-point group-NTT call."""
     import numpy as np
-    arr = np.array(ints, dtype=object)
-    out = np.empty((len(ints), nlimb), dtype=np.uint64)
-    mask = (1 << 64) - 1
-    for j in range(nlimb):
-        out[:, j] = [int(x) for x in ((arr >> (64 * j)) & mask)]
-    return out
+    nbytes = 8 * nlimb
+    buf = b"".join(int(x).to_bytes(nbytes, "little") for x in ints)
+    return np.frombuffer(buf, dtype="<u8").reshape(len(ints), nlimb).copy()
 
 
 def _np_from_u64_limbs(arr):
-    """(n, nlimb) uint64 -> list of python ints."""
-    import numpy as np
+    """(n, nlimb) uint64 -> list of python ints (via one bytes round trip)."""
     n, nlimb = arr.shape
-    acc = np.zeros(n, dtype=object)
-    for j in range(nlimb):
-        acc |= arr[:, j].astype(object) << (64 * j)
-    return [int(x) for x in acc]
+    nbytes = 8 * nlimb
+    raw = arr.astype("<u8").tobytes()
+    return [int.from_bytes(raw[i * nbytes:(i + 1) * nbytes], "little")
+            for i in range(n)]
 
 
 def _g2_jac_to_affine(coords: List[int]):
@@ -187,24 +179,39 @@ def _g2_jac_to_affine(coords: List[int]):
     return (ax, ay)
 
 
+_Z1 = (1).to_bytes(32, "little") + (0).to_bytes(32, "little")
+_ZERO_G2 = bytes(192)
+
+
 def _pack_g2_affine(points) -> "ctypes.Array":
-    buf = (ctypes.c_uint64 * (24 * len(points)))()
-    for i, pt in enumerate(points):
-        if pt is None:
-            continue  # all zeros = identity (z = 0)
-        (x0, x1), (y0, y1) = pt
-        vals = _u64s(x0) + _u64s(x1) + _u64s(y0) + _u64s(y1) + _u64s(1) + _u64s(0)
-        for j, v in enumerate(vals):
-            buf[24 * i + j] = v
+    raw = b"".join(
+        _ZERO_G2 if pt is None else (
+            pt[0][0].to_bytes(32, "little") + pt[0][1].to_bytes(32, "little")
+            + pt[1][0].to_bytes(32, "little") + pt[1][1].to_bytes(32, "little")
+            + _Z1)
+        for pt in points)
+    return (ctypes.c_uint64 * (24 * len(points))).from_buffer_copy(raw)
+
+
+_g2_srs_pack_cache: dict = {}
+
+
+def _pack_g2_affine_cached(points):
+    """Packed-buffer cache for long-lived G2 SRS lists (the per-table commit
+    repacked the whole 2^19-point SRS every call)."""
+    key = id(points)
+    hit = _g2_srs_pack_cache.get(key)
+    if hit is not None and hit[0] is points and len(points) == hit[2]:
+        return hit[1]
+    buf = _pack_g2_affine(points)
+    if len(points) > 4096:
+        _g2_srs_pack_cache[key] = (points, buf, len(points))
     return buf
 
 
 def _pack_scalars(scalars: List[int]) -> "ctypes.Array":
-    sc = (ctypes.c_uint64 * (4 * len(scalars)))()
-    for i, s in enumerate(scalars):
-        for j, v in enumerate(_u64s(s)):
-            sc[4 * i + j] = v
-    return sc
+    raw = b"".join(int(x).to_bytes(32, "little") for x in scalars)
+    return (ctypes.c_uint64 * (4 * len(scalars))).from_buffer_copy(raw)
 
 
 def native_g2_batch_scalar_mul(points_affine, scalars: List[int]):
@@ -226,10 +233,53 @@ def native_g2_msm(scalars: List[int], points_affine):
     if lib is None:
         return None
     n = len(scalars)
-    pin = _pack_g2_affine(points_affine)
+    pin = _pack_g2_affine_cached(points_affine)
     out = (ctypes.c_uint64 * 24)()
     lib.g2_msm(pin, _pack_scalars(scalars), ctypes.c_long(n), out)
     return _g2_jac_to_affine([_from_u64s(out, 4 * c) for c in range(6)])
+
+
+def np_jac_from_tuples(points_jac):
+    """list of (X, Y, Z) int tuples -> (n, 12) uint64 canonical buffer."""
+    flat = [c for p in points_jac for c in p]
+    return _np_u64_limbs(flat, 4).reshape(len(points_jac), 12)
+
+
+def np_jac_to_tuples(buf):
+    """(n, 12) uint64 -> list of (X, Y, Z) int tuples."""
+    n = buf.shape[0]
+    coords = _np_from_u64_limbs(buf.reshape(3 * n, 4))
+    return [tuple(coords[3 * i:3 * i + 3]) for i in range(n)]
+
+
+def native_group_ntt_np(buf, twiddles_np, k: int) -> bool:
+    """In-place group NTT on a (n, 12) uint64 canonical-Jacobian buffer.
+    Returns False when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "g1_group_ntt"):
+        return False
+    import numpy as np
+    assert buf.flags["C_CONTIGUOUS"]
+    lib.g1_group_ntt(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                     np.ascontiguousarray(twiddles_np).ctypes.data_as(
+                         ctypes.POINTER(ctypes.c_uint64)),
+                     ctypes.c_long(buf.shape[0]), ctypes.c_int(k))
+    return True
+
+
+def native_batch_scalar_mul_np(buf, scalars_np):
+    """(n,12) uint64 points x (n,4) uint64 scalars -> (n,12) uint64, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+    out = np.empty_like(buf)
+    lib.g1_batch_scalar_mul(
+        np.ascontiguousarray(buf).ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        np.ascontiguousarray(scalars_np).ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_long(buf.shape[0]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out
 
 
 def native_group_ntt(points_jac, twiddles: List[int], k: int):
@@ -243,11 +293,7 @@ def native_group_ntt(points_jac, twiddles: List[int], k: int):
     import numpy as np
     n = len(points_jac)
     assert n == 1 << k
-    flat = [c for p in points_jac for c in p]
-    buf = np.ascontiguousarray(_np_u64_limbs(flat, 4).reshape(n, 12))
-    tw = np.ascontiguousarray(_np_u64_limbs(twiddles, 4))
-    lib.g1_group_ntt(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-                     tw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-                     ctypes.c_long(n), ctypes.c_int(k))
-    coords = _np_from_u64_limbs(buf.reshape(3 * n, 4))
-    return [tuple(coords[3 * i:3 * i + 3]) for i in range(n)]
+    buf = np.ascontiguousarray(np_jac_from_tuples(points_jac))
+    tw = _np_u64_limbs(twiddles, 4)
+    native_group_ntt_np(buf, tw, k)
+    return np_jac_to_tuples(buf)

@@ -67,19 +67,15 @@ class StaticTableValues:
         table_coeffs = NTT.intt_host(self.values, omega, P)
 
         if use_fk and size >= 4:
-            raw = fk_all_quotient_commitments(table_coeffs, srs_g1, omega)
-            # scale qs[i] by w^i / N  (reference static_lookup.rs:108-119)
-            from ..native_loader import native_batch_scalar_mul
+            # qs[i] scaled by w^i / N inside the FK pipeline
+            # (reference static_lookup.rs:108-119)
             scales = []
             wi = 1
             for _ in range(size):
                 scales.append(wi * n_inv % P)
                 wi = wi * omega % P
-            raw_jac = [CH.jac_from_affine(q) for q in raw]
-            scaled = native_batch_scalar_mul(raw_jac, scales)
-            if scaled is None:
-                scaled = [CH.jac_mul(q, s) for q, s in zip(raw_jac, scales)]
-            self.qs = CH.jac_batch_to_affine(scaled)
+            self.qs = fk_all_quotient_commitments(
+                table_coeffs, srs_g1, omega, out_scales=scales)
         else:
             self.qs = []
             wi = 1
@@ -161,54 +157,90 @@ def _group_ntt_any(points_jac: List, omega: int, k: int) -> List:
     return _group_ntt_jac(points_jac, omega)
 
 
+def _np_twiddles(omega: int, n: int):
+    from ..native_loader import _np_u64_limbs
+    tw = [1] * max(n // 2, 1)
+    for i in range(1, len(tw)):
+        tw[i] = tw[i - 1] * omega % P
+    return _np_u64_limbs(tw, 4)
+
+
 # SRS-side NTT cache: B_hat depends only on the SRS, not the table, so one
 # FK run per SRS pays it and every further table of that size reuses it.
+# Held as a (2N, 12) uint64 canonical-Jacobian numpy buffer — the earlier
+# Python-tuple form cost minutes of int<->limb conversion per table.
 _srs_ntt_cache: dict = {}
 
 
 def fk_all_quotient_commitments(table_coeffs: List[int], srs_g1: List[CH.G1Affine],
-                                omega: int) -> List[CH.G1Affine]:
+                                omega: int, out_scales: List[int] = None) -> List[CH.G1Affine]:
     """Feist-Khovratovich all-openings in O(N log N) group ops.
 
     q_i = [ (T(X) - T(w^i)) / (X - w^i) ]_1 = sum_{j=0}^{N-1} h_j * w^{ij}
     where h_j = sum_{m=j+1}^{N-1} t_m [x^{m-1-j}]_1.
 
-    h is a correlation of the coefficient vector with the SRS powers; it is
+    h is a correlation of the coefficient vector with the SRS powers,
     computed as a size-2N cyclic convolution using group NTTs, then the N
-    outputs q_i are one more size-N group NTT of h.  The group NTTs and the
-    pointwise scalar products run on the native OpenMP kernels
-    (native/fieldops.c g1_group_ntt / g1_batch_scalar_mul) when available —
-    this turns the reference's "SHOULD BE DONE WITH FK METHOD" TODO
-    (static_lookup.rs:107) into minutes for 2^16+ tables.
+    outputs q_i are one more size-N group NTT of h.  The whole pipeline is
+    numpy-buffer-resident on the native OpenMP kernels (g1_group_ntt /
+    g1_batch_scalar_mul) when available — this turns the reference's
+    "SHOULD BE DONE WITH FK METHOD" TODO (static_lookup.rs:107) into
+    minutes for 2^16+ tables.  out_scales, when given, multiplies output i
+    by out_scales[i] inside the same native pass (the w^i/N factor).
     """
-    from ..native_loader import native_batch_scalar_mul
+    from ..native_loader import (_np_u64_limbs, native_batch_scalar_mul_np,
+                                 native_group_ntt_np, np_jac_from_tuples,
+                                 np_jac_to_tuples)
+    import numpy as np
 
     n = len(table_coeffs)
     m2 = 2 * n
     k2 = m2.bit_length() - 1
     omega2 = _omega_for_k(k2)
 
-    # Correlation h_j = sum_m t_m A_{m-1-j}  (A_k = [x^k]_1 for 0<=k<=N-2)
-    # Reverse the point vector: define B_i = A_{-i mod 2N} so that
-    # h_j = sum_m t_m B_{(1 + j - m) mod 2N} = cyclicconv(t, B)_{(1+j) mod 2N}
+    use_native = True
     cache_key = (n, srs_g1[1] if n > 1 else None)
     B_hat = _srs_ntt_cache.get(cache_key)
     if B_hat is None:
-        B = [CH.JAC_IDENTITY] * m2
+        # B_i = A_{-i mod 2N} with A_k = [x^k]_1 for 0 <= k <= N-2
+        B = np.zeros((m2, 12), dtype=np.uint64)
+        pts = np_jac_from_tuples(
+            [(pt[0], pt[1], 1) for pt in srs_g1[: n - 1]])
+        idx = (-np.arange(n - 1)) % m2
+        B[idx] = pts
+        if not native_group_ntt_np(B, _np_twiddles(omega2, m2), k2):
+            use_native = False
+        if use_native:
+            _srs_ntt_cache[cache_key] = B
+
+    if not use_native or B_hat is False:
+        # pure-Python fallback (tiny tables / no toolchain)
+        Bt = [CH.JAC_IDENTITY] * m2
         for kk in range(0, n - 1):
-            B[(-kk) % m2] = CH.jac_from_affine(srs_g1[kk])
-        B_hat = _group_ntt_any(B, omega2, k2)
-        _srs_ntt_cache[cache_key] = B_hat
+            Bt[(-kk) % m2] = CH.jac_from_affine(srs_g1[kk])
+        t_pad = list(table_coeffs) + [0] * (m2 - n)
+        t_hat = NTT.ntt_host(t_pad, omega2, P)
+        m2_inv = pow(m2, P - 2, P)
+        B_hat_t = _group_ntt_jac(Bt, omega2)
+        prod = [CH.jac_mul(b, sc * m2_inv % P) for b, sc in zip(B_hat_t, t_hat)]
+        conv = _group_ntt_jac(prod, pow(omega2, P - 2, P))
+        h = [conv[(1 + j) % m2] for j in range(n)]
+        q = _group_ntt_jac(h, omega)
+        if out_scales is not None:
+            q = [CH.jac_mul(pt, sc) for pt, sc in zip(q, out_scales)]
+        return CH.jac_batch_to_affine(q)
+
+    if B_hat is None:
+        B_hat = _srs_ntt_cache[cache_key]
 
     t_pad = list(table_coeffs) + [0] * (m2 - n)
     t_hat = NTT.ntt_host(t_pad, omega2, P)
     m2_inv = pow(m2, P - 2, P)
-    scales = [s * m2_inv % P for s in t_hat]
-    prod = native_batch_scalar_mul(B_hat, scales)
-    if prod is None:
-        prod = [CH.jac_mul(b, s) for b, s in zip(B_hat, scales)]
-    conv = _group_ntt_any(prod, pow(omega2, P - 2, P), k2)
-    h = [conv[(1 + j) % m2] for j in range(n)]
-
-    # q = NTT_N(h)
-    return CH.jac_batch_to_affine(_group_ntt_any(h, omega, n.bit_length() - 1))
+    scales = _np_u64_limbs([sc * m2_inv % P for sc in t_hat], 4)
+    prod = native_batch_scalar_mul_np(B_hat, scales)
+    native_group_ntt_np(prod, _np_twiddles(pow(omega2, P - 2, P), m2), k2)
+    h = np.ascontiguousarray(prod[(1 + np.arange(n)) % m2])
+    native_group_ntt_np(h, _np_twiddles(omega, n), n.bit_length() - 1)
+    if out_scales is not None:
+        h = native_batch_scalar_mul_np(h, _np_u64_limbs(out_scales, 4))
+    return CH.jac_batch_to_affine(np_jac_to_tuples(h))

@@ -27,6 +27,7 @@ def _rand(n, seed):
     (5, 32),    # single matmul
     (8, 64),    # one four-step level
     (9, 16),    # two levels (512 = 2 * 16 * 16)
+    (10, 16),   # tiny residual -> VPU butterfly path (m = 4)
 ])
 def test_mxu_ntt_matches_host(k, max_m):
     n = 1 << k

@@ -51,6 +51,10 @@ def pad_message(message: bytes) -> list:
 
 def main():
     nblocks = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    # pinned test-only toxic waste, independent of the message length, so
+    # every block count shares one cached table setup (the value is what the
+    # original single-block run drew — the 110-minute table cache keys on it)
+    PINNED_S = 0x2b068e00660fd714ab61695867925740388c0d300215adf8c964f5d93e9a76e7
     rng = random.Random(0x5256)
     msg_len = nblocks * 64 - 9   # fills exactly nblocks padded blocks
     message = bytes(rng.randrange(256) for _ in range(msg_len))
@@ -63,7 +67,7 @@ def main():
     print(f"message {msg_len} B -> {nblocks} block(s), {rows} rows, k={k}")
 
     stats = {"scheme": "fips_sha256", "blocks": nblocks, "k": k}
-    s = rng.randrange(P)
+    s = PINNED_S
 
     t0 = time.time()
     tables, configs, b0, srs = build_sha256_setup(SCHEME32, 1 << k, s, progress=True)

@@ -88,9 +88,12 @@ def main():
     stats["keygen_s"] = round(time.time() - t0, 1)
     print("keygen:", stats["keygen_s"], "s", flush=True)
 
+    h_device = os.environ.get("SHA2CQ_H_DEVICE", "0") == "1"
+    stats["h_device"] = h_device
     profiler.enable()
     t0 = time.time()
-    proof = create_proof(params, pk, [circuit], [[digest]], rng=rng)
+    proof = create_proof(params, pk, [circuit], [[digest]], rng=rng,
+                         h_device=h_device)
     stats["prove_s"] = round(time.time() - t0, 1)
     stats["proof_bytes"] = len(proof)
     print("prove:", stats["prove_s"], "s; proof:", len(proof), "B")

@@ -630,3 +630,255 @@ void g1_group_ntt(u64 *points, const u64 *twiddles, long n, int k) {
     for (long i = 0; i < n; i++) store_pt(points + 12 * i, &pts[i]);
     __builtin_free(pts);
 }
+
+/* ------------------------- Fr scalar-field kernels ------------------------
+ *
+ * Host-side Fr (BN254 scalar field) bulk kernels: the prover's CQ
+ * log-derivative iNTTs, multiopen polynomial folds, Horner evaluations and
+ * kate division are O(n)/O(n log n) bigint loops that were pure Python.
+ * Montgomery 4x64 CIOS identical in shape to the fq_* ops above; constants
+ * pinned to reference bn256/fr.rs:28-60.
+ *
+ * ABI: values are canonical little-endian u64[4].  Internally we exploit
+ * the identity mont_mul(a_canonical, b*R) = a*b (canonical), so vector
+ * kernels convert only the scalar operand to Montgomery form.
+ */
+static const u64 FRQ[4] = {0x43e1f593f0000001ULL, 0x2833e84879b97091ULL,
+                           0xb85045b68181585dULL, 0x30644e72e131a029ULL};
+static const u64 FR_R2[4] = {0x1bb8e645ae216da7ULL, 0x53fe3ab1e35c59e3ULL,
+                             0x8c49833d53bb8085ULL, 0x0216d0b17f4e44a5ULL};
+static const u64 FR_NINV = 0xc2e1f593efffffffULL;
+
+typedef struct { u64 v[4]; } fr;
+
+static inline int fr_geq(const u64 a[4], const u64 b[4]) {
+    for (int i = 3; i >= 0; i--) {
+        if (a[i] > b[i]) return 1;
+        if (a[i] < b[i]) return 0;
+    }
+    return 1;
+}
+
+static inline void sub_fr(u64 a[4]) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a[i] - FRQ[i] - borrow;
+        a[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+    }
+}
+
+static void fr_add(fr *r, const fr *a, const fr *b) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 s = (u128)a->v[i] + b->v[i] + carry;
+        r->v[i] = (u64)s;
+        carry = s >> 64;
+    }
+    if (carry || fr_geq(r->v, FRQ)) sub_fr(r->v);
+}
+
+static void fr_sub(fr *r, const fr *a, const fr *b) {
+    u128 borrow = 0;
+    u64 t[4];
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a->v[i] - b->v[i] - borrow;
+        t[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+    }
+    if (borrow) {
+        u128 carry = 0;
+        for (int i = 0; i < 4; i++) {
+            u128 s = (u128)t[i] + FRQ[i] + carry;
+            t[i] = (u64)s;
+            carry = s >> 64;
+        }
+    }
+    memcpy(r->v, t, sizeof t);
+}
+
+static void fr_mul(fr *r, const fr *a, const fr *b) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        u128 carry = 0;
+        for (int j = 0; j < 4; j++) {
+            u128 cur = (u128)t[j] + (u128)a->v[i] * b->v[j] + carry;
+            t[j] = (u64)cur;
+            carry = cur >> 64;
+        }
+        u128 cur = (u128)t[4] + carry;
+        t[4] = (u64)cur;
+        t[5] = (u64)(cur >> 64);
+
+        u64 m = t[0] * FR_NINV;
+        carry = ((u128)t[0] + (u128)m * FRQ[0]) >> 64;
+        for (int j = 1; j < 4; j++) {
+            u128 c2 = (u128)t[j] + (u128)m * FRQ[j] + carry;
+            t[j - 1] = (u64)c2;
+            carry = c2 >> 64;
+        }
+        cur = (u128)t[4] + carry;
+        t[3] = (u64)cur;
+        t[4] = t[5] + (u64)(cur >> 64);
+        t[5] = 0;
+    }
+    if (t[4] || fr_geq(t, FRQ)) sub_fr(t);
+    memcpy(r->v, t, 4 * sizeof(u64));
+}
+
+static void fr_to_mont(fr *r, const fr *a) {
+    fr r2;
+    memcpy(r2.v, FR_R2, sizeof FR_R2);
+    fr_mul(r, a, &r2);
+}
+
+/* In-place radix-2 DIT NTT over Fr, same semantics as ops/ntt.ntt_host
+ * (bit-reverse then breadth-first butterflies; natural order in and out).
+ * twiddles: (n/2) canonical scalars [w^0 .. w^{n/2-1}]. */
+void fr_ntt(u64 *vals, const u64 *twiddles, long n, int k) {
+    fr *a = (fr *)__builtin_malloc(sizeof(fr) * (size_t)n);
+    fr *tw = (fr *)__builtin_malloc(sizeof(fr) * (size_t)(n / 2));
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static) if(n >= 65536)
+    #endif
+    for (long i = 0; i < n; i++) fr_to_mont(&a[i], (const fr *)(vals + 4 * i));
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static) if(n >= 131072)
+    #endif
+    for (long i = 0; i < n / 2; i++)
+        fr_to_mont(&tw[i], (const fr *)(twiddles + 4 * i));
+
+    for (long i = 0; i < n; i++) {
+        long r = 0, x = i;
+        for (int b = 0; b < k; b++) { r = (r << 1) | (x & 1); x >>= 1; }
+        if (r > i) { fr tmp = a[i]; a[i] = a[r]; a[r] = tmp; }
+    }
+
+    for (int s = 0; s < k; s++) {
+        long half = 1L << s;
+        long stride = 1L << (k - 1 - s);
+        long nbf = n >> 1;
+        #ifdef _OPENMP
+        #pragma omp parallel for schedule(static) if(nbf >= 65536)
+        #endif
+        for (long bf = 0; bf < nbf; bf++) {
+            long blk = bf >> s;
+            long j = bf & (half - 1);
+            long top = (blk << (s + 1)) | j;
+            long bot = top | half;
+            fr t;
+            if (j == 0) t = a[bot];
+            else fr_mul(&t, &a[bot], &tw[j * stride]);
+            fr e = a[top];
+            fr_add(&a[top], &e, &t);
+            fr_sub(&a[bot], &e, &t);
+        }
+    }
+
+    fr one = {{1, 0, 0, 0}};
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static) if(n >= 65536)
+    #endif
+    for (long i = 0; i < n; i++)
+        fr_mul((fr *)(vals + 4 * i), &a[i], &one);  /* from Montgomery */
+    __builtin_free(a);
+    __builtin_free(tw);
+}
+
+/* acc[i] = acc[i] * v + add[i] (all canonical); add may be NULL or shorter
+ * than n (addn entries, rest treated as 0) — the gwc/shplonk poly fold. */
+void fr_fold(u64 *acc, const u64 *add, long addn, const u64 *v, long n) {
+    fr vm;
+    fr_to_mont(&vm, (const fr *)v);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static) if(n >= 131072)
+    #endif
+    for (long i = 0; i < n; i++) {
+        fr t;
+        fr_mul(&t, (const fr *)(acc + 4 * i), &vm);
+        if (add && i < addn) fr_add(&t, &t, (const fr *)(add + 4 * i));
+        memcpy(acc + 4 * i, &t, sizeof t);
+    }
+}
+
+/* vals[i] *= c (canonical) */
+void fr_vec_scale(u64 *vals, const u64 *c, long n) {
+    fr cm;
+    fr_to_mont(&cm, (const fr *)c);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static) if(n >= 131072)
+    #endif
+    for (long i = 0; i < n; i++) {
+        fr t;
+        fr_mul(&t, (const fr *)(vals + 4 * i), &cm);
+        memcpy(vals + 4 * i, &t, sizeof t);
+    }
+}
+
+/* Horner evaluation out = poly(x); poly canonical, length n. */
+void fr_eval_poly(const u64 *poly, long n, const u64 *x, u64 *out) {
+    fr xm, acc;
+    fr_to_mont(&xm, (const fr *)x);
+    memset(&acc, 0, sizeof acc);
+    for (long i = n - 1; i >= 0; i--) {
+        fr t;
+        fr_mul(&t, &acc, &xm);
+        fr_add(&acc, &t, (const fr *)(poly + 4 * i));
+    }
+    memcpy(out, &acc, sizeof acc);
+}
+
+/* kate division: q(X) = (p(X) - p(b)) / (X - b), deg q = n-2.
+ * out must hold n-1 elements (reference arithmetic.rs:351-387 semantics:
+ * quotient only, caller already knows p(b)). */
+void fr_kate_div(const u64 *poly, long n, const u64 *b, u64 *out) {
+    fr bm, acc;
+    fr_to_mont(&bm, (const fr *)b);
+    memset(&acc, 0, sizeof acc);
+    for (long i = n - 2; i >= 0; i--) {
+        fr t;
+        fr_mul(&t, &acc, &bm);
+        fr_add(&acc, &t, (const fr *)(poly + 4 * (i + 1)));
+        memcpy(out + 4 * i, &acc, sizeof acc);
+    }
+}
+
+/* Batch modular inverse via Montgomery's trick; vals in/out canonical.
+ * Zero entries are left as zero (matching fields/host.batch_inv). */
+void fr_batch_inv(u64 *vals, long n) {
+    fr *pref = (fr *)__builtin_malloc(sizeof(fr) * (size_t)(n + 1));
+    fr *vm = (fr *)__builtin_malloc(sizeof(fr) * (size_t)n);
+    fr one_m;
+    fr one = {{1, 0, 0, 0}};
+    fr_to_mont(&one_m, &one);
+    pref[0] = one_m;
+    for (long i = 0; i < n; i++) {
+        fr_to_mont(&vm[i], (const fr *)(vals + 4 * i));
+        int z = !(vm[i].v[0] | vm[i].v[1] | vm[i].v[2] | vm[i].v[3]);
+        if (z) pref[i + 1] = pref[i];
+        else fr_mul(&pref[i + 1], &pref[i], &vm[i]);
+    }
+    /* invert pref[n] by exponentiation: inv = x^(r-2) */
+    fr base = pref[n], accv = one_m;
+    u64 e[4];
+    memcpy(e, FRQ, sizeof e);
+    /* r - 2 */
+    e[0] -= 2;  /* FRQ[0] >= 2, no borrow */
+    for (int w = 0; w < 4; w++) {
+        for (int bit = 0; bit < 64; bit++) {
+            if ((e[w] >> bit) & 1) fr_mul(&accv, &accv, &base);
+            fr_mul(&base, &base, &base);
+        }
+    }
+    fr inv = accv;
+    for (long i = n - 1; i >= 0; i--) {
+        int z = !(vm[i].v[0] | vm[i].v[1] | vm[i].v[2] | vm[i].v[3]);
+        if (z) continue;
+        fr t;
+        fr_mul(&t, &pref[i], &inv);       /* inverse of vals[i], mont */
+        fr_mul(&inv, &inv, &vm[i]);
+        fr_mul((fr *)(vals + 4 * i), &t, &one);  /* from mont -> canonical */
+    }
+    __builtin_free(pref);
+    __builtin_free(vm);
+}

@@ -67,6 +67,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                      ctypes.c_long, ctypes.c_int]
         lib.g2_batch_scalar_mul.argtypes = lib.g1_msm.argtypes
         lib.g2_msm.argtypes = lib.g1_msm.argtypes
+        U64P = ctypes.POINTER(ctypes.c_uint64)
+        lib.fr_ntt.argtypes = [U64P, U64P, ctypes.c_long, ctypes.c_int]
+        lib.fr_fold.argtypes = [U64P, U64P, ctypes.c_long, U64P, ctypes.c_long]
+        lib.fr_vec_scale.argtypes = [U64P, U64P, ctypes.c_long]
+        lib.fr_eval_poly.argtypes = [U64P, ctypes.c_long, U64P, U64P]
+        lib.fr_kate_div.argtypes = [U64P, ctypes.c_long, U64P, U64P]
+        lib.fr_batch_inv.argtypes = [U64P, ctypes.c_long]
         _lib = lib
         return lib
     except OSError:
@@ -297,3 +304,100 @@ def native_group_ntt(points_jac, twiddles: List[int], k: int):
     tw = _np_u64_limbs(twiddles, 4)
     native_group_ntt_np(buf, tw, k)
     return np_jac_to_tuples(buf)
+
+
+# ------------------------- Fr scalar-field kernels ---------------------------
+#
+# Bulk host-side Fr work (NTTs, poly folds, Horner, kate division, batch
+# inversion) — the prover's CQ log-derivative and multiopen phases.  Values
+# cross the ABI as (n, 4) little-endian u64 numpy buffers (canonical form);
+# the helpers below also accept/return python int lists.
+
+def _u64p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def fr_buf(ints) -> "object":
+    """list of ints -> contiguous (n, 4) uint64 buffer."""
+    return _np_u64_limbs(ints, 4)
+
+
+def fr_unbuf(arr) -> List[int]:
+    return _np_from_u64_limbs(arr)
+
+
+def native_fr_ntt(values: List[int], twiddles_buf, k: int) -> Optional[List[int]]:
+    """Radix-2 NTT over Fr (ntt_host semantics).  twiddles_buf: (n/2, 4)
+    uint64 buffer of [w^0 .. w^{n/2-1}] (cache it across calls)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+    buf = fr_buf(values)
+    lib.fr_ntt(_u64p(buf), _u64p(np.ascontiguousarray(twiddles_buf)),
+               ctypes.c_long(len(values)), ctypes.c_int(k))
+    return fr_unbuf(buf)
+
+
+def native_fr_ntt_buf(buf, twiddles_buf, k: int) -> bool:
+    """In-place NTT on an existing (n, 4) uint64 buffer."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    import numpy as np
+    lib.fr_ntt(_u64p(buf), _u64p(np.ascontiguousarray(twiddles_buf)),
+               ctypes.c_long(buf.shape[0]), ctypes.c_int(k))
+    return True
+
+
+def native_fr_fold_buf(acc_buf, add_buf, v: int) -> bool:
+    """acc = acc * v + add (elementwise over (n,4) buffers; add may be None
+    or shorter than acc)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    vb = fr_buf([v])
+    addn = 0 if add_buf is None else add_buf.shape[0]
+    addp = None if add_buf is None else _u64p(add_buf)
+    lib.fr_fold(_u64p(acc_buf), addp, ctypes.c_long(addn), _u64p(vb),
+                ctypes.c_long(acc_buf.shape[0]))
+    return True
+
+
+def native_fr_eval_buf(buf, x: int) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    xb = fr_buf([x])
+    out = (ctypes.c_uint64 * 4)()
+    lib.fr_eval_poly(_u64p(buf), ctypes.c_long(buf.shape[0]), _u64p(xb), out)
+    return _from_u64s(out, 0)
+
+
+def native_fr_eval(coeffs: List[int], x: int) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    return native_fr_eval_buf(fr_buf(coeffs), x)
+
+
+def native_fr_kate_buf(buf, b: int):
+    """(n,4) coeff buffer -> (n-1,4) quotient buffer of (p(X)-p(b))/(X-b)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+    n = buf.shape[0]
+    out = np.empty((n - 1, 4), dtype="<u8")
+    bb = fr_buf([b])
+    lib.fr_kate_div(_u64p(buf), ctypes.c_long(n), _u64p(bb), _u64p(out))
+    return out
+
+
+def native_fr_batch_inv(values: List[int]) -> Optional[List[int]]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = fr_buf(values)
+    lib.fr_batch_inv(_u64p(buf), ctypes.c_long(len(values)))
+    return fr_unbuf(buf)

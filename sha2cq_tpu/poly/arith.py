@@ -21,6 +21,11 @@ P = FR_MOD
 
 
 def eval_polynomial(coeffs: Sequence[int], x: int) -> int:
+    if len(coeffs) >= 512:
+        from ..native_loader import native_fr_eval
+        out = native_fr_eval([c % P for c in coeffs], x % P)
+        if out is not None:
+            return out
     acc = 0
     for c in reversed(coeffs):
         acc = (acc * x + c) % P
@@ -31,6 +36,11 @@ def kate_division(coeffs: Sequence[int], b: int, debug: bool = False) -> List[in
     """q(X) = (p(X) - p(b)) / (X - b); len(q) = len(p) - 1... we return
     len(p) coefficients with trailing zero to match the reference's shape."""
     n = len(coeffs)
+    if n >= 512 and not debug:
+        from ..native_loader import fr_buf, fr_unbuf, native_fr_kate_buf
+        qbuf = native_fr_kate_buf(fr_buf([c % P for c in coeffs]), b % P)
+        if qbuf is not None:
+            return fr_unbuf(qbuf) + [0]
     q = [0] * n
     tmp = 0
     # synthetic division from the top

@@ -1,0 +1,70 @@
+"""Native (C) Fr scalar-field kernels vs the pure-Python oracles.
+
+fieldops.c fr_* kernels back the host prover's CQ log-derivative iNTTs,
+multiopen folds/evals and kate division (reference arithmetic.rs:304-387,
+static_lookup/prover.rs:259-303).  Skipped when no C toolchain is available
+(every consumer falls back to Python).
+"""
+import random
+
+import pytest
+
+from sha2cq_tpu.fields.host import FR_MOD as P
+from sha2cq_tpu.fields.host import FR_ROOT_OF_UNITY, FR_S
+from sha2cq_tpu.native_loader import (fr_buf, fr_unbuf, get_lib,
+                                      native_fr_batch_inv, native_fr_eval,
+                                      native_fr_fold_buf, native_fr_kate_buf,
+                                      native_fr_ntt)
+from sha2cq_tpu.ops.ntt import _host_twiddle_buf, _ntt_host_py
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="no native library")
+
+K = 9
+N = 1 << K
+
+
+@pytest.fixture(scope="module")
+def vals():
+    rng = random.Random(0xF4)
+    return [rng.randrange(P) for _ in range(N)]
+
+
+def test_fr_ntt_matches_python(vals):
+    omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_S - K), P)
+    got = native_fr_ntt(vals, _host_twiddle_buf(omega, N, P), K)
+    assert got == _ntt_host_py(vals, omega, P)
+
+
+def test_fr_eval_matches_horner(vals):
+    x = random.Random(1).randrange(P)
+    acc = 0
+    for c in reversed(vals):
+        acc = (acc * x + c) % P
+    assert native_fr_eval(vals, x) == acc
+
+
+def test_fr_kate_matches_synthetic_division(vals):
+    b = random.Random(2).randrange(P)
+    q = [0] * N
+    tmp = 0
+    for i in range(N - 1, -1, -1):
+        q[i] = tmp = (vals[i] + tmp * b) % P
+    assert fr_unbuf(native_fr_kate_buf(fr_buf(vals), b)) == q[1:]
+
+
+def test_fr_fold_shorter_addend(vals):
+    rng = random.Random(3)
+    acc0 = [rng.randrange(P) for _ in range(N)]
+    add = vals[: N // 2]
+    v = rng.randrange(P)
+    buf = fr_buf(acc0)
+    assert native_fr_fold_buf(buf, fr_buf(add), v)
+    expect = [(a * v + (add[i] if i < len(add) else 0)) % P
+              for i, a in enumerate(acc0)]
+    assert fr_unbuf(buf) == expect
+
+
+def test_fr_batch_inv_with_zeros(vals):
+    sample = vals[:50] + [0] + vals[50:60] + [0, 1]
+    got = native_fr_batch_inv(sample)
+    assert got == [pow(v, P - 2, P) if v else 0 for v in sample]

@@ -82,3 +82,45 @@ def build_sha256_setup(s: HalfScheme, circuit_n: int, secret: int,
             pickle.dump(result, f, protocol=4)
         os.replace(cache_path + ".tmp", cache_path)
     return result
+
+
+def save_setup_bundle(path: str, setup) -> None:
+    """Write a (static_tables, configs, b0_g1_bound, srs) tuple — as returned
+    by build_sha256_setup — to a portable raw-bytes artifact (utils/keyio
+    wire format; machine/Python-version independent, unlike the resume
+    pickles above).  The reference cannot ship this state at all: it drops
+    static tables on key read (plonk.rs:161-163 TODO)."""
+    from ...utils import keyio
+    data = keyio.write_table_bundle(*setup)
+    with open(path + ".tmp", "wb") as f:
+        f.write(data)
+    os.replace(path + ".tmp", path)
+
+
+def load_setup_bundle(path: str):
+    """Read a bundle written by save_setup_bundle."""
+    from ...utils import keyio
+    with open(path, "rb") as f:
+        return keyio.read_table_bundle(f.read())
+
+
+def build_mock_tables(s: HalfScheme) -> Dict[str, Dict[str, StaticTable]]:
+    """Values-only StaticTables — no FK preprocessing, no commitments.
+
+    MockProver only needs table membership (dev/mock_prover.py checks
+    `opened.values`); the 32-bit scheme's tables are hours of group work to
+    commit but seconds to enumerate, so this is what a 32-bit mock run uses
+    (tests/test_sha256_circuit.py opt-in test)."""
+    specs = build_all_columns(s)
+    out: Dict[str, Dict[str, StaticTable]] = {}
+    for fam, columns in specs.items():
+        out[fam] = {}
+        for comp, values in columns.items():
+            tv = StaticTableValues.__new__(StaticTableValues)
+            tv.size = len(values)
+            tv.values = [v % P for v in values]
+            mapping = {v: i for i, v in enumerate(tv.values)}
+            tv.value_index_mapping = mapping if len(mapping) == tv.size else None
+            tv.qs = []
+            out[fam][comp] = StaticTable(opened=tv, committed=None)
+    return out

@@ -351,3 +351,42 @@ def mxu_intt(a: jnp.ndarray, omega_inv: int, k: int, divisor_inv: int,
     out = _mxu_ntt_jit(a, plan, max_m, ctx.name, res_omega)
     d = D.pack_scalar(divisor_inv, ctx).reshape(NLIMB, 1)
     return D.mont_mul(out, d, ctx)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _mxu_batch_scaled_jit(a, plan, res_omega, p_name, divisor_inv):
+    ctx = FR if p_name == "Fr" else D.FQ
+    out = mxu_ntt_batch(a, plan, res_omega, ctx)
+    d = D.pack_scalar(divisor_inv, ctx).reshape(NLIMB, 1, 1)
+    return D.mont_mul(out, d, ctx)
+
+
+def mxu_lagrange_to_coeff_batch(a: jnp.ndarray, omega_inv: int, k: int,
+                                divisor_inv: int, ctx=FR) -> jnp.ndarray:
+    """(16, C, n) Lagrange -> coefficient batch on the MXU (iNTT + 1/n)."""
+    plan, res_omega = get_plan(1 << k, omega_inv % ctx.p, ctx.name)
+    return _mxu_batch_scaled_jit(a, plan, res_omega, ctx.name, divisor_inv)
+
+
+def mxu_ntt_batch(a: jnp.ndarray, plan: NttPlan, res_omega, ctx=FR,
+                  max_m: int = MAX_MATMUL, chunk: int = 16) -> jnp.ndarray:
+    """Batched forward NTT over the LAST axis of a (16, C, n) limb array.
+
+    Trace-safe inside an enclosing jit (the plan travels as a pytree of
+    device arrays — callers obtain it from get_plan and pass it through
+    their own jit boundary as an argument).  The column axis rides the
+    matmul B dimension, so all C transforms share each digit-matrix
+    dispatch; columns are processed in `chunk`-sized groups to bound the
+    int32 digit-plane working set (32 * m * m1 * chunk * 4 bytes)."""
+    C, n = a.shape[1], a.shape[2]
+    if C == 0:
+        return a
+    outs = []
+    for lo in range(0, C, chunk):
+        blk = a[:, lo:lo + chunk]
+        cb = blk.shape[1]
+        at = jnp.transpose(blk, (0, 2, 1))              # (16, n, cb)
+        f = _dft_axis1(at, plan, 0, ctx, max_m, res_omega)
+        f = _canonicalize(f, ctx)
+        outs.append(jnp.transpose(f, (0, 2, 1)))
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]

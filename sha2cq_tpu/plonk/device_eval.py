@@ -6,10 +6,13 @@ replaced by fused jnp limb kernels over (16, extended_n) arrays.
 
 The whole middle of the prover — basis conversions of every committed
 polynomial, the h accumulation, division by the vanishing polynomial and the
-inverse transform back to coefficients — is traced into ONE jitted function
-per proving key (`build_h_fn`), so a proof issues a single device dispatch
-for it.  That matters doubly on the axon-tunneled TPU, where each dispatch
-pays a network round trip.
+inverse transform back to coefficients — runs as a SHORT pipeline of jitted
+pieces per proving key (`build_h_fn`): one conversions piece, gate-fold
+chunks bounded to ~200 expression nodes each, and one protocol piece.  All
+intermediate state stays device-resident, so a proof pays only a handful of
+~7 ms tunnel round trips.  (A single fused graph was tried first: beyond
+~1000 expression nodes XLA's algebraic simplifier goes superlinear/circular
+and the SHA-256 circuit's h took >30 min to compile.)
 
 The prover uses this via create_proof(..., h_device=True); byte-identical
 proofs vs the host path are pinned in tests.
@@ -17,7 +20,7 @@ proofs vs the host path are pinned in tests.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +38,10 @@ def _const(v: int):
     return D.pack_scalar(v, FR).reshape(NLIMB, 1)
 
 
-def build_h_fn(pk):
-    """Returns a jitted fn(inputs) -> h coefficient array (16, n*quotient).
+def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 200):
+    """Returns fn(inputs) -> h coefficient array (16, n*quotient), where fn
+    wraps a short pipeline of jitted pieces (conversions, gate-fold chunks,
+    protocol terms + quotient) with all intermediate state device-resident.
 
     inputs pytree (all Montgomery limb arrays):
       advice   : (16, C_a, n)   Lagrange advice columns
@@ -46,11 +51,35 @@ def build_h_fn(pk):
                  -> Lagrange for product/input/table (converted inside)
       static   : list of {"b","f"} coefficient arrays (16, n)
       scalars  : {"y","beta","gamma","theta"} (16, 1) + "challenges" (16,ch,1)
-    """
+
+    use_mxu: route every basis conversion through the MXU matmul-NTT
+    (ops/mxu_ntt.py) instead of VPU butterflies.  The NttPlan digit matrices
+    travel through the jit boundary as ARGUMENTS (axon remote compile
+    rejects big embedded constants), shared across all conversions.  Auto:
+    on for single-device k >= 12 (where the butterfly trace is both slow to
+    compile and VPU-multiply-bound)."""
+    from ..ops import mxu_ntt as MX
+
     domain = pk.vk.domain
     cs = pk.vk.cs
     size = domain.extended_n
     rot_scale = 1 << (domain.extended_k - domain.k)
+    if use_mxu is None:
+        use_mxu = domain.k >= 12
+
+    plans = {}
+    res_omegas = {}
+    if use_mxu:
+        for name, (nn, om) in {
+            "l2c": (domain.n, domain.omega_inv),
+            "c2e": (size, domain.extended_omega),
+            "e2c": (size, domain.extended_omega_inv),
+        }.items():
+            plan, res_om = MX.get_plan(nn, om, "Fr")
+            plans[name] = plan
+            res_omegas[name] = res_om
+    ifft_div = _const(domain.ifft_divisor)
+    ext_ifft_div = _const(domain.extended_ifft_divisor)
 
     fixed_cosets = jnp.stack([D.pack(c, FR) for c in pk.fixed_cosets], axis=1) \
         if pk.fixed_cosets else None
@@ -72,21 +101,39 @@ def build_h_fn(pk):
     def roll(a, rot):
         return jnp.roll(a, -rot * rot_scale, axis=1)
 
-    def h_fn(inputs):
-        advice_lag = inputs["advice"]
-        instance_lag = inputs["instance"]
-        sc = inputs["scalars"]
-        y, beta, gamma, theta = sc["y"], sc["beta"], sc["gamma"], sc["theta"]
-        one = D.ones((size,), FR)
+    def coeff_to_extended_b(coeff, mxu_plans):
+        if use_mxu:
+            a = D.mont_mul(coeff, domain._zeta_pattern(domain.n, True)[:, None, :], FR)
+            pad = jnp.zeros((NLIMB, a.shape[1], size - domain.n), dtype=a.dtype)
+            a = jnp.concatenate([a, pad], axis=2)
+            return MX.mxu_ntt_batch(a, mxu_plans["c2e"], res_omegas["c2e"])
+        return domain.coeff_to_extended_batch(coeff)
 
-        # basis conversions, batched per group
-        def to_coset_batch(lag):
-            coeff = domain.lagrange_to_coeff_batch(lag)
-            return domain.coeff_to_extended_batch(coeff)
+    def to_coset_batch(lag, mxu_plans):
+        if use_mxu:
+            coeff = MX.mxu_ntt_batch(lag, mxu_plans["l2c"], res_omegas["l2c"])
+            coeff = D.mont_mul(coeff, ifft_div[:, None, :], FR)
+            return coeff_to_extended_b(coeff, mxu_plans)
+        coeff = domain.lagrange_to_coeff_batch(lag)
+        return domain.coeff_to_extended_batch(coeff)
 
-        advice = to_coset_batch(advice_lag) if advice_lag.shape[1] else advice_lag
-        instance = (to_coset_batch(instance_lag)
-                    if instance_lag.shape[1] else instance_lag)
+    # ---- piece 0: basis conversions (NTT-heavy, few distinct ops) ---------
+    def convert_fn(inputs, mxu_plans):
+        def conv(a):
+            return to_coset_batch(a, mxu_plans) if a.shape[1] else \
+                jnp.zeros((NLIMB, 0, size), dtype=a.dtype)
+        return {
+            "advice": conv(inputs["advice"]),
+            "instance": conv(inputs["instance"]),
+            "z": conv(inputs["z"]),
+            "lk": conv(inputs["lookups"]),
+            "st": (coeff_to_extended_b(inputs["static"], mxu_plans)
+                   if inputs["static"].shape[1]
+                   else jnp.zeros((NLIMB, 0, size), dtype=inputs["static"].dtype)),
+        }
+
+    def make_eval_expr(state, sc):
+        advice, instance = state["advice"], state["instance"]
 
         def eval_expr(expr: Expression):
             ops = {
@@ -106,27 +153,69 @@ def build_h_fn(pk):
                 out = jnp.broadcast_to(out, (NLIMB, size))
             return out
 
-        values = D.zeros((size,), FR)
+        return eval_expr
 
-        def fold(acc, term):
-            return D.add(D.mont_mul(acc, y, FR), term, FR)
+    def fold(acc, y, term):
+        return D.add(D.mont_mul(acc, y, FR), term, FR)
 
-        for gate in cs.gates:
-            for poly in gate.polys:
-                values = fold(values, eval_expr(poly))
+    # ---- gate pieces: the custom-gate y-fold, chunked by expression size --
+    # One giant fused graph (1000+ expression nodes x ~300 HLO ops per
+    # mont_mul) sends XLA's algebraic simplifier into its superlinear/
+    # circular regime (observed: >30 min compiles for the SHA circuit's h).
+    # Bounded chunks compile linearly and cost only ~7 ms tunnel overhead
+    # per extra dispatch.
+    def expr_nodes(e):
+        return e.evaluate({
+            "const": lambda v: 1, "selector": lambda e: 1,
+            "fixed": lambda e: 1, "advice": lambda e: 1,
+            "instance": lambda e: 1, "challenge": lambda e: 1,
+            "neg": lambda a: a + 1, "sum": lambda a, b: a + b + 1,
+            "prod": lambda a, b: a + b + 1, "scaled": lambda a, v: a + 1,
+        })
+
+    gate_polys = [poly for gate in cs.gates for poly in gate.polys]
+    gate_chunks: List[List[Expression]] = []
+    cur: List[Expression] = []
+    cur_nodes = 0
+    for poly in gate_polys:
+        nn = expr_nodes(poly)
+        if cur and cur_nodes + nn > max_chunk_nodes:
+            gate_chunks.append(cur)
+            cur, cur_nodes = [], 0
+        cur.append(poly)
+        cur_nodes += nn
+    if cur:
+        gate_chunks.append(cur)
+
+    def make_gate_fn(polys):
+        def gate_fn(values, state, sc):
+            eval_expr = make_eval_expr(state, sc)
+            for poly in polys:
+                values = fold(values, sc["y"], eval_expr(poly))
+            return values
+        return jax.jit(gate_fn)
+
+    gate_jits = [make_gate_fn(polys) for polys in gate_chunks]
+
+    # ---- protocol piece: permutation + lookups + CQ + quotient ------------
+    def protocol_fn(values, state, sc, mxu_plans):
+        y, beta, gamma, theta = sc["y"], sc["beta"], sc["gamma"], sc["theta"]
+        one = D.ones((size,), FR)
+        eval_expr = make_eval_expr(state, sc)
+        advice, instance = state["advice"], state["instance"]
 
         # permutation
         if num_sets:
-            z_cosets = to_coset_batch(inputs["z"])
+            z_cosets = state["z"]
             sets = [z_cosets[:, i] for i in range(num_sets)]
             first, last = sets[0], sets[-1]
             last_rot = -(bf + 1)
 
-            values = fold(values, D.mont_mul(D.sub(one, first, FR), l0, FR))
-            values = fold(values, D.mont_mul(
+            values = fold(values, y, D.mont_mul(D.sub(one, first, FR), l0, FR))
+            values = fold(values, y, D.mont_mul(
                 D.sub(D.mont_mul(last, last, FR), last, FR), l_last, FR))
             for i in range(1, num_sets):
-                values = fold(values, D.mont_mul(
+                values = fold(values, y, D.mont_mul(
                     D.sub(sets[i], roll(sets[i - 1], last_rot), FR), l0, FR))
 
             beta_terms = D.mont_mul(zeta_times_coset, beta, FR)
@@ -154,12 +243,12 @@ def build_h_fn(pk):
                     right = D.mont_mul(
                         right, D.add(D.add(vals, cur_delta, FR), gamma, FR), FR)
                     cur_delta = D.mont_mul(cur_delta, _const(H.FR_DELTA), FR)
-                values = fold(values, D.mont_mul(
+                values = fold(values, y, D.mont_mul(
                     D.sub(left, right, FR), l_active, FR))
 
         # dynamic lookups
         if cs.lookups:
-            lk_stack = to_coset_batch(inputs["lookups"])  # (16, 3*L, n->ext)
+            lk_stack = state["lk"]
             for n_lk, arg in enumerate(cs.lookups):
                 product = lk_stack[:, 3 * n_lk]
                 inp = lk_stack[:, 3 * n_lk + 1]
@@ -171,45 +260,62 @@ def build_h_fn(pk):
                 for e in arg.table_expressions:
                     comp_tab = D.add(D.mont_mul(comp_tab, theta, FR), eval_expr(e), FR)
                 a_minus_s = D.sub(inp, tab, FR)
-                values = fold(values, D.mont_mul(D.sub(one, product, FR), l0, FR))
-                values = fold(values, D.mont_mul(
+                values = fold(values, y, D.mont_mul(D.sub(one, product, FR), l0, FR))
+                values = fold(values, y, D.mont_mul(
                     D.sub(D.mont_mul(product, product, FR), product, FR), l_last, FR))
                 table_value = D.mont_mul(D.add(comp_in, beta, FR),
                                          D.add(comp_tab, gamma, FR), FR)
                 left = D.mont_mul(D.mont_mul(roll(product, 1),
                                              D.add(inp, beta, FR), FR),
                                   D.add(tab, gamma, FR), FR)
-                values = fold(values, D.mont_mul(
+                values = fold(values, y, D.mont_mul(
                     D.sub(left, D.mont_mul(product, table_value, FR), FR),
                     l_active, FR))
-                values = fold(values, D.mont_mul(a_minus_s, l0, FR))
-                values = fold(values, D.mont_mul(
+                values = fold(values, y, D.mont_mul(a_minus_s, l0, FR))
+                values = fold(values, y, D.mont_mul(
                     D.mont_mul(a_minus_s, D.sub(inp, roll(inp, -1), FR), FR),
                     l_active, FR))
 
-        # CQ static lookups (inputs arrive in coefficient form)
+        # CQ static lookups
         if cs.static_lookups:
-            st = inputs["static"]  # (16, 2*S, n) coeff [b, f] pairs
-            st_cosets = domain.coeff_to_extended_batch(st)
+            st_cosets = state["st"]
             for i in range(len(cs.static_lookups)):
                 b_coset = st_cosets[:, 2 * i]
                 f_coset = st_cosets[:, 2 * i + 1]
                 term = D.mont_mul(
                     b_coset, D.add(D.mont_mul(f_coset, l_active, FR), beta, FR), FR)
-                values = fold(values, D.sub(term, one, FR))
+                values = fold(values, y, D.sub(term, one, FR))
 
         # quotient: divide by t(X) on the coset, back to coefficients
         values = D.mont_mul(values, vanishing_inv, FR)
+        if use_mxu:
+            a = MX.mxu_ntt_batch(values[:, None, :], mxu_plans["e2c"],
+                                 res_omegas["e2c"])[:, 0]
+            a = D.mont_mul(a, ext_ifft_div, FR)
+            a = D.mont_mul(a, domain._zeta_pattern(size, False), FR)
+            return a[:, : domain.n * domain.quotient_poly_degree]
         return domain.extended_to_coeff(values)
 
-    return jax.jit(h_fn)
+    convert_jit = jax.jit(convert_fn)
+    protocol_jit = jax.jit(protocol_fn)
+
+    def run(inputs):
+        state = convert_jit(inputs, plans)
+        sc = inputs["scalars"]
+        values = D.zeros((size,), FR)
+        for g in gate_jits:
+            values = g(values, state, sc)
+        return protocol_jit(values, state, sc, plans)
+
+    return run
 
 
-def get_h_fn(pk):
-    fn = getattr(pk, "_h_fn", None)
+def get_h_fn(pk, use_mxu: Optional[bool] = None):
+    key = "_h_fn_mxu" if use_mxu else "_h_fn" if use_mxu is False else "_h_fn_auto"
+    fn = getattr(pk, key, None)
     if fn is None:
-        fn = build_h_fn(pk)
-        pk._h_fn = fn
+        fn = build_h_fn(pk, use_mxu=use_mxu)
+        setattr(pk, key, fn)
     return fn
 
 

@@ -106,11 +106,14 @@ class _WitnessCollection:
 def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                  rng=None, transcript: Optional[Blake2bWrite] = None,
                  multiopen: str = "gwc", h_device: bool = False,
-                 mesh=None) -> bytes:
+                 mesh=None, h_mxu: Optional[bool] = None) -> bytes:
     """instances: per-circuit list of per-column instance value lists.
 
     mesh: optional jax.sharding.Mesh — shards the fused device h-path over
-    the mesh's "x" axis (multi-chip proving; implies h_device)."""
+    the mesh's "x" axis (multi-chip proving; implies h_device).
+
+    h_mxu: force the MXU matmul-NTT basis conversions in the device h-path
+    on/off (None = auto: on for single-device k >= 12)."""
     if mesh is not None:
         h_device = True
     rng = rng or _SystemRng()
@@ -246,13 +249,21 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
         from .device_eval import get_h_fn, prepare_h_inputs
         from .vanishing import vanishing_construct_from_coeffs
 
+        use_mxu = h_mxu if mesh is None else False
+
         # advice coeff polys (needed host-side for the x-evals/multiopen):
         # one batched device NTT + one unpack
         advice_coeff = []
         for adv in advice_singles:
             if adv["values"]:
                 lag = _jnp.stack([Dv.pack(v, Dv.FR) for v in adv["values"]], axis=1)
-                coeff = domain.lagrange_to_coeff_batch(lag)
+                if mesh is None and (h_mxu if h_mxu is not None
+                                     else domain.k >= 12):
+                    from ..ops.mxu_ntt import mxu_lagrange_to_coeff_batch
+                    coeff = mxu_lagrange_to_coeff_batch(
+                        lag, domain.omega_inv, domain.k, domain.ifft_divisor)
+                else:
+                    coeff = domain.lagrange_to_coeff_batch(lag)
                 flat = Dv.unpack(coeff, Dv.FR)
                 ncols = len(adv["values"])
                 advice_coeff.append({"polys": [
@@ -260,7 +271,7 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
             else:
                 advice_coeff.append({"polys": []})
 
-        h_fn = get_h_fn(pk)
+        h_fn = get_h_fn(pk, use_mxu=use_mxu)
         inputs = prepare_h_inputs(
             pk, [adv["values"] for adv in advice_singles],
             [inst["values"] for inst in instance_singles],

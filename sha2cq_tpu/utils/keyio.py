@@ -253,3 +253,96 @@ def read_pk(data: bytes, circuit) -> ProvingKey:
         static_table_configs=configs,
         b0_g1_bound=b0,
     )
+
+
+# --------------------------- CQ setup bundle ---------------------------------
+# Shippable artifact for the SHA-256 (circuit32) preprocessing: the reference
+# DROPS static-table state on key read (plonk.rs:161-163, 384-402 TODO/FIXME),
+# which makes its multi-hour table preprocessing non-checkpointable; the
+# pickle caches in models/sha/setup32.py are resume-oriented but Python/
+# machine-local.  This is the portable raw-bytes format for the whole
+# (static_tables, configs, b0_g1_bound, srs) tuple returned by
+# build_sha256_setup — same wire primitives as the key format above.
+
+def _write_static_table(w: _W, t) -> None:
+    w.u32(1 if t.opened is not None else 0)
+    if t.opened is not None:
+        w.scalars(t.opened.values)
+        w.g1s(t.opened.qs)
+    w.u32(1 if t.committed is not None else 0)
+    if t.committed is not None:
+        c = t.committed
+        w.g2(c.zv)
+        w.g2(c.t)
+        w.g2(c.x_b0_bound)
+        w.u32(c.size)
+
+
+def _read_static_table(r: _R):
+    from ..plonk.static_tables import StaticTable
+    opened = None
+    if r.u32():
+        values = r.scalars()
+        qs = r.g1s()
+        opened = StaticTableValues.__new__(StaticTableValues)
+        opened.size = len(values)
+        opened.values = values
+        mapping = {v: i for i, v in enumerate(values)}
+        opened.value_index_mapping = (mapping if len(mapping) == len(values)
+                                      else None)
+        opened.qs = qs
+    committed = None
+    if r.u32():
+        committed = StaticCommittedTable(
+            zv=r.g2(), t=r.g2(), x_b0_bound=r.g2(), size=r.u32())
+    return StaticTable(opened=opened, committed=committed)
+
+
+def write_table_bundle(static_tables, configs, b0_g1_bound, srs) -> bytes:
+    """static_tables: {family: {component: StaticTable}} (setup32 layout)."""
+    w = _W()
+    w.u32(len(static_tables))
+    for fam, columns in static_tables.items():
+        w.string(fam)
+        w.u32(len(columns))
+        for comp, table in columns.items():
+            w.string(comp)
+            _write_static_table(w, table)
+    w.u32(len(configs))
+    for size, cfg in configs.items():
+        w.u32(size)
+        w.g1s(cfg.g1_lagrange)
+        w.g1s(cfg.g_lagrange_opening_at_0)
+    w.g1s(b0_g1_bound)
+    w.g1s(srs.g1)
+    w.g1s(srs.g1_lagrange)
+    w.g1s(srs.g_lagrange_opening_at_0)
+    w.u32(len(srs.g2))
+    for p in srs.g2:
+        w.g2(p)
+    return w.bytes()
+
+
+def read_table_bundle(data: bytes):
+    from ..poly.kzg.params import TableSRS
+    r = _R(data)
+    static_tables = {}
+    for _ in range(r.u32()):
+        fam = r.string()
+        columns = {}
+        for _ in range(r.u32()):
+            comp = r.string()
+            columns[comp] = _read_static_table(r)
+        static_tables[fam] = columns
+    configs = {}
+    for _ in range(r.u32()):
+        size = r.u32()
+        configs[size] = StaticTableConfig(size, r.g1s(), r.g1s())
+    b0 = r.g1s()
+    g1 = r.g1s()
+    g1_lagrange = r.g1s()
+    opening0 = r.g1s()
+    g2 = [r.g2() for _ in range(r.u32())]
+    srs = TableSRS(g1=g1, g1_lagrange=g1_lagrange,
+                   g_lagrange_opening_at_0=opening0, g2=g2)
+    return static_tables, configs, b0, srs

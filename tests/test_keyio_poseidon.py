@@ -67,3 +67,32 @@ def test_poseidon_sponge():
     p.update([1, 2])
     p.update([3, 4, 5])
     assert p.squeeze() == h1
+
+
+def test_table_bundle_roundtrip():
+    """The portable raw-bytes setup-bundle format (keyio.write_table_bundle)
+    must round-trip the full (static_tables, configs, b0_g1_bound, srs)
+    preprocessing tuple — the artifact class the reference cannot
+    checkpoint at all (static tables dropped on read, plonk.rs:161-163)."""
+    K = 3
+    rng, srs, t1, t2, params, configs, b0 = E._setup(K)
+    bundle = {"sigma": {"hi": t1, "lo": t2}}
+    data = keyio.write_table_bundle(bundle, configs, b0, srs)
+    tables2, configs2, b02, srs2 = keyio.read_table_bundle(data)
+
+    assert set(tables2) == {"sigma"}
+    for comp, orig in (("hi", t1), ("lo", t2)):
+        got = tables2["sigma"][comp]
+        assert got.opened.values == orig.opened.values
+        assert got.opened.qs == orig.opened.qs
+        assert got.opened.value_index_mapping == orig.opened.value_index_mapping
+        assert got.committed == orig.committed
+    assert set(configs2) == set(configs)
+    for size in configs:
+        assert configs2[size].g1_lagrange == configs[size].g1_lagrange
+        assert (configs2[size].g_lagrange_opening_at_0
+                == configs[size].g_lagrange_opening_at_0)
+    assert b02 == b0
+    assert srs2.g1 == srs.g1 and srs2.g2 == srs.g2
+    assert srs2.g1_lagrange == srs.g1_lagrange
+    assert srs2.g_lagrange_opening_at_0 == srs.g_lagrange_opening_at_0

@@ -10,6 +10,7 @@ Also pins the w=32 witness model against hashlib (the "hashlib-checked
 digest" acceptance from VERDICT item 1).
 """
 import hashlib
+import os
 import random
 
 import pytest
@@ -104,3 +105,25 @@ def test_sha256_circuit_proof_two_blocks(setup):
     batcher = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
                            [[digest]], Blake2bRead(proof))
     assert batcher.check(), "two-block chained proof failed"
+
+
+@pytest.mark.skipif(os.environ.get("SHA2CQ_SLOW_TESTS") != "1",
+                    reason="32-bit mock is ~minutes of table membership "
+                           "checks; opt in with SHA2CQ_SLOW_TESTS=1")
+def test_sha256_circuit_mock_32bit_single_block():
+    """MockProver over the REAL 32-bit scheme (values-only tables — no FK /
+    commitments needed for the mock): one full FIPS block, every gate and
+    CQ membership checked at word_bits=32 rather than the 8-bit CI proxy."""
+    from sha2cq_tpu.models.sha.setup32 import build_mock_tables
+    tables = build_mock_tables(SCHEME32)
+    rng = random.Random(11)
+    blocks = [[rng.randrange(1 << 32) for _ in range(16)]]
+    circuit = Sha256Circuit(blocks, tables)
+    digest = circuit.expected_digest()
+
+    # digest cross-check vs the executable FIPS model (one raw 64-byte
+    # block, no padding added)
+    state = model.sha_compress_final(model.h_constants(32), blocks[0], 32)
+    assert list(state) == list(digest)
+
+    MockProver.run(7, circuit, [digest]).assert_satisfied()

@@ -115,6 +115,40 @@ class Region:
         self._l.assignment.assign_fixed(column, row, value)
         return AssignedCell(Cell(self.region_index, offset, column), value)
 
+    # -- bulk slice assignment (vectorized witness generation) ------------
+    # The reference assigns cell-by-cell through Rust closures
+    # (prover.rs:223-260); in Python that per-cell dispatch dominates big
+    # circuits (SHA-256/64-block = ~570k cells per synthesis pass), so
+    # regions accept whole column slices.  `values` are plain ints; cells
+    # for copy constraints can be constructed with `self.cell(column, off)`.
+
+    def assign_advice_slice(self, column: Column, offset: int, values) -> None:
+        row0 = self.start + offset
+        self.rows_used = max(self.rows_used, offset + len(values))
+        sink = self._l.assignment
+        fast = getattr(sink, "assign_advice_slice", None)
+        if fast is not None:
+            fast(column, row0, values)
+        else:
+            for i, v in enumerate(values):
+                sink.assign_advice(column, row0 + i, Value.known(v))
+
+    def assign_fixed_slice(self, column: Column, offset: int, values) -> None:
+        row0 = self.start + offset
+        self.rows_used = max(self.rows_used, offset + len(values))
+        sink = self._l.assignment
+        fast = getattr(sink, "assign_fixed_slice", None)
+        if fast is not None:
+            fast(column, row0, values)
+        else:
+            for i, v in enumerate(values):
+                sink.assign_fixed(column, row0 + i, Value.known(v))
+
+    def cell(self, column: Column, offset: int) -> Cell:
+        """Cell handle for a slice-assigned position (for constrain_equal /
+        constrain_instance)."""
+        return Cell(self.region_index, offset, column)
+
     def assign_advice_from_instance(
         self, instance: Column, instance_row: int, advice: Column, offset: int
     ) -> AssignedCell:
@@ -258,6 +292,15 @@ class _ShapeRegion:
 
     def assign_advice_from_instance(self, instance, instance_row, advice, offset):
         return self.assign_advice(advice, offset, Value.unknown())
+
+    def assign_advice_slice(self, column, offset, values) -> None:
+        self._touch(column, offset + len(values) - 1)
+
+    def assign_fixed_slice(self, column, offset, values) -> None:
+        self._touch(column, offset + len(values) - 1)
+
+    def cell(self, column, offset: int) -> Cell:
+        return Cell(self.region_index, offset, column)
 
     def enable_selector(self, selector, offset) -> None:
         self._shape.rows = max(self._shape.rows, offset + 1)

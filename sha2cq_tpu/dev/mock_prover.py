@@ -83,6 +83,25 @@ class _MockAssignment:
             raise ValueError(f"not enough rows available (row {row})")
         self.selectors[selector.index][row] = True
 
+    def assign_advice_slice(self, column: Column, row0: int, values) -> None:
+        hi = row0 + len(values)
+        if hi > self.usable_rows:
+            raise ValueError(f"not enough rows available (rows {row0}..{hi})")
+        self._touch(row0)
+        self._touch(hi - 1)
+        from ..fields.host import FR_MOD
+        self.advice[column.index][row0:hi] = [v % FR_MOD for v in values]
+        self.advice_assigned[column.index][row0:hi] = [True] * len(values)
+
+    def assign_fixed_slice(self, column: Column, row0: int, values) -> None:
+        hi = row0 + len(values)
+        if hi > self.usable_rows:
+            raise ValueError(f"not enough rows available (rows {row0}..{hi})")
+        self._touch(row0)
+        self._touch(hi - 1)
+        from ..fields.host import FR_MOD
+        self.fixed[column.index][row0:hi] = [v % FR_MOD for v in values]
+
     def query_instance(self, column: Column, row: int) -> Value:
         return Value.known(self.instance[column.index][row])
 

@@ -32,10 +32,9 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
-from ...circuit import Value
 from ...plonk.circuit_ir import ConstraintSystem, StaticTableId
 from . import sha256 as model
-from .tables32 import SCHEME32, HalfScheme, build_all_columns
+from .tables32 import SCHEME32, HalfScheme
 
 BLOCK_ROWS = 72
 DIGEST_ROW = 64
@@ -43,10 +42,11 @@ DIGEST_ROW = 64
 
 def table_ids(s: HalfScheme) -> Dict[str, Dict[str, StaticTableId]]:
     """StaticTableIds for every (family, component)."""
+    from .tables32 import all_component_names
     ids: Dict[str, Dict[str, StaticTableId]] = {}
-    for fam, cols in build_all_columns(s).items():
+    for fam, comps in all_component_names(s).items():
         ids[fam] = {comp: StaticTableId(f"s256_{s.word_bits}_{fam}_{comp}")
-                    for comp in cols}
+                    for comp in comps}
     return ids
 
 
@@ -320,15 +320,24 @@ class Sha256Circuit:
                     [(vl >> (j * s.piece)) & pmask for j in range(NP)],
                     [((vh ^ vl) >> (j * s.piece)) & pmask for j in range(NP)])
 
+        FIXED_KEYS = ("q_state", "q_round", "q_trans", "q_sched", "q_first",
+                      "q_digest", "q_dgrow", "q_chain", "k_col")
+
         def assign_all(region):
-            cells = {}
+            # Vectorized witness generation: fill plain-int column arrays and
+            # hand them to the region as whole slices (one sink call per
+            # column instead of ~570k per-cell calls at 64 blocks) — the
+            # "assign whole column slices" departure from the reference's
+            # per-cell closures (SURVEY §7 stage 6).
+            rows = len(self.blocks) * BLOCK_ROWS
+            adv_vals = {name: [0] * rows for name in cols}
+            fx_vals = {key: [0] * rows for key in FIXED_KEYS}
 
             def put(name, row, value):
-                cells[(name, row)] = region.assign_advice(
-                    cols[name], row, Value.known(int(value)))
+                adv_vals[name][row] = int(value)
 
-            def putf(col, row, value):
-                region.assign_fixed(col, row, Value.known(int(value)))
+            def putf(key, row, value):
+                fx_vals[key][row] = int(value)
 
             state = list(iv)
             nblocks = len(self.blocks)
@@ -341,20 +350,20 @@ class Sha256Circuit:
 
                 # fixed columns for this block
                 for r in range(64):
-                    putf(config["q_round"], base + r, 1)
-                    putf(config["q_trans"], base + r, 1)
-                    putf(config["k_col"], base + r, K[r])
+                    putf("q_round", base + r, 1)
+                    putf("q_trans", base + r, 1)
+                    putf("k_col", base + r, K[r])
                 for r in range(65):
-                    putf(config["q_state"], base + r, 1)
+                    putf("q_state", base + r, 1)
                 for r in range(16, 64):
-                    putf(config["q_sched"], base + r, 1)
-                putf(config["q_digest"], base + DIGEST_ROW, 1)
+                    putf("q_sched", base + r, 1)
+                putf("q_digest", base + DIGEST_ROW, 1)
                 for r in range(DIGEST_ROW, DIGEST_ROW + 8):
-                    putf(config["q_dgrow"], base + r, 1)
+                    putf("q_dgrow", base + r, 1)
                 if b == 0:
-                    putf(config["q_first"], 0, 1)
+                    putf("q_first", 0, 1)
                 else:
-                    putf(config["q_chain"], base, 1)
+                    putf("q_chain", base, 1)
 
                 def put_state(row, st):
                     a, bb, cc, d, e, f, g, h = st
@@ -395,7 +404,7 @@ class Sha256Circuit:
                     put("wd", row, wr)
                     put("w_hi", row, (wr >> s.half) & hmask)
                     put("w_lo", row, wr & hmask)
-                    if r >= 16:
+                    if r >= 16:  # (r < 16 columns stay zero-initialized)
                         i0, i1 = W[r - 15], W[r - 2]
                         h0, l0, hb, lb, xb = sigma_parts(model.small_sigma0, i0)
                         put("s0in_h", row, h0)
@@ -416,13 +425,6 @@ class Sha256Circuit:
                         wc = wsum >> wb
                         put("wc0", row, wc & 1)
                         put("wc1", row, (wc >> 1) & 1)
-                    else:
-                        for n in ("s0in_h", "s0in_l", "s1in_h", "s1in_l",
-                                  "wc0", "wc1"):
-                            put(n, row, 0)
-                        for pfx in ("g0h", "g0l", "g0x", "g1h", "g1l", "g1x"):
-                            for j in range(NP):
-                                put(f"{pfx}{j}", row, 0)
 
                     # round computation
                     s1w = model.big_sigma1(e, wb)
@@ -445,12 +447,9 @@ class Sha256Circuit:
                     a, bb, cc, d, e, f, g, h = (
                         new_a, a, bb, cc, new_e, e, f, g)
 
-                # row 64: final state (filled by the last round's witnesses)
+                # row 64: final state (filled by the last round's witnesses);
+                # the per-round columns of rows 64..71 stay zero-initialized
                 put_state(base + DIGEST_ROW, (a, bb, cc, d, e, f, g, h))
-                for n in ("wd", "w_hi", "w_lo", "s0in_h", "s0in_l",
-                          "s1in_h", "s1in_l", "wc0", "wc1",
-                          "ec0", "ec1", "ec2", "ac0", "ac1", "ac2"):
-                    put(n, base + DIGEST_ROW, 0)
 
                 # digest rows
                 fin = [a, bb, cc, d, e, f, g, h]
@@ -466,45 +465,40 @@ class Sha256Circuit:
                     put("dg_lo", row, dg & hmask)
                     put("dg_c", row, tot >> wb)
                     new_state.append(dg)
-                # zero remaining per-row columns on rows 65..71
-                for j in range(1, 8):
-                    row = base + DIGEST_ROW + j
-                    put_state(row, (0,) * 8)
-                    for n in ("wd", "w_hi", "w_lo", "s0in_h", "s0in_l",
-                              "s1in_h", "s1in_l", "wc0", "wc1",
-                              "ec0", "ec1", "ec2", "ac0", "ac1", "ac2"):
-                        put(n, row, 0)
-                # dg columns zero on non-digest rows of this block
-                for r in range(0, DIGEST_ROW):
-                    for n in ("dg_in", "dg_iv", "dg_w", "dg_hi", "dg_lo", "dg_c"):
-                        put(n, base + r, 0)
+                # rows 65..71 per-round columns and non-digest-row dg columns
+                # stay zero-initialized
 
                 state = new_state
 
+            # hand the filled columns to the region as whole slices
+            for name, vals in adv_vals.items():
+                region.assign_advice_slice(cols[name], 0, vals)
+            for key, vals in fx_vals.items():
+                region.assign_fixed_slice(config[key], 0, vals)
+
             # sigma-input copies (per block, rows >= 16)
+            cell = region.cell
             for b in range(nblocks):
                 base = b * BLOCK_ROWS
                 for r in range(16, 64):
                     region.constrain_equal(
-                        cells[("s0in_h", base + r)].cell,
-                        cells[("w_hi", base + r - 15)].cell)
+                        cell(cols["s0in_h"], base + r),
+                        cell(cols["w_hi"], base + r - 15))
                     region.constrain_equal(
-                        cells[("s0in_l", base + r)].cell,
-                        cells[("w_lo", base + r - 15)].cell)
+                        cell(cols["s0in_l"], base + r),
+                        cell(cols["w_lo"], base + r - 15))
                     region.constrain_equal(
-                        cells[("s1in_h", base + r)].cell,
-                        cells[("w_hi", base + r - 2)].cell)
+                        cell(cols["s1in_h"], base + r),
+                        cell(cols["w_hi"], base + r - 2))
                     region.constrain_equal(
-                        cells[("s1in_l", base + r)].cell,
-                        cells[("w_lo", base + r - 2)].cell)
-            return cells
+                        cell(cols["s1in_l"], base + r),
+                        cell(cols["w_lo"], base + r - 2))
+            last = (nblocks - 1) * BLOCK_ROWS + DIGEST_ROW
+            return [cell(cols["dg_w"], last + j) for j in range(8)]
 
-        cells = layouter.assign_region("sha256", assign_all)
-
-        last = (len(self.blocks) - 1) * BLOCK_ROWS + DIGEST_ROW
+        dg_cells = layouter.assign_region("sha256", assign_all)
         for j in range(8):
-            layouter.constrain_instance(
-                cells[("dg_w", last + j)].cell, config["inst"], j)
+            layouter.constrain_instance(dg_cells[j], config["inst"], j)
 
     # ------------------------------------------------------------------
     def expected_digest(self) -> List[int]:

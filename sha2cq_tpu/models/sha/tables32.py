@@ -149,3 +149,19 @@ def build_all_columns(s: HalfScheme) -> Dict[str, Dict[str, List[int]]]:
         out[f"maj{bits}"] = limb_fn_columns(bits, "maj")
         out[f"ch{bits}"] = limb_fn_columns(bits, "ch")
     return out
+
+
+def all_component_names(s: HalfScheme) -> Dict[str, List[str]]:
+    """family -> component names, without materializing any column data
+    (build_all_columns costs ~2 s at word_bits=32; configure/synthesize only
+    need the names for StaticTableIds)."""
+    out: Dict[str, List[str]] = {"idh": ["i"],
+                                 "xorp": ["x", "y", "z"]}
+    sigma = ["i"] + [f"b{j}" for j in range(s.n_pieces)]
+    for fn in SIGMA_FNS:
+        out[f"{fn}h"] = list(sigma)
+        out[f"{fn}l"] = list(sigma)
+    for bits in sorted(set(s.limb_widths)):
+        out[f"maj{bits}"] = ["x", "y", "z", "f"]
+        out[f"ch{bits}"] = ["x", "y", "z", "f"]
+    return out

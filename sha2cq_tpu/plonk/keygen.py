@@ -75,6 +75,16 @@ class _Assembly:
             raise ValueError("not enough rows available")
         self.fixed[column.index][row] = value.assign()
 
+    def assign_advice_slice(self, column: Column, row0: int, values):
+        pass
+
+    def assign_fixed_slice(self, column: Column, row0: int, values):
+        if row0 + len(values) > self.usable_rows:
+            raise ValueError("not enough rows available")
+        from ..fields.host import FR_MOD
+        self.fixed[column.index][row0:row0 + len(values)] = \
+            [v % FR_MOD for v in values]
+
     def copy(self, col_a: Column, row_a: int, col_b: Column, row_b: int):
         if row_a >= self.usable_rows or row_b >= self.usable_rows:
             raise ValueError("not enough rows available")

@@ -86,6 +86,17 @@ class _WitnessCollection:
             raise ValueError("not enough rows available")
         self.advice[column.index][row] = value.assign()
 
+    def assign_advice_slice(self, column: Column, row0: int, values):
+        if column.phase != self.current_phase:
+            return
+        if row0 + len(values) > self.usable_rows:
+            raise ValueError("not enough rows available")
+        self.advice[column.index][row0:row0 + len(values)] = \
+            [v % P for v in values]
+
+    def assign_fixed_slice(self, column: Column, row0: int, values):
+        pass
+
     def assign_fixed(self, column: Column, row: int, value: Value):
         pass
 

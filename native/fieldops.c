@@ -199,6 +199,56 @@ static void pt_add(pt *r, const pt *p, const pt *q) {
     *r = out;
 }
 
+/* mixed add: q affine in Montgomery form (implicit z = 1), madd-2007-bl
+ * 7M+4S vs the 12M+4S generic Jacobian add — bucket accumulation feeds
+ * every point in with z = 1, so this is the Pippenger hot path. */
+static void pt_add_mixed(pt *r, const pt *p, const fq *qx, const fq *qy) {
+    if (pt_is_identity(p)) {
+        r->x = *qx;
+        r->y = *qy;
+        memset(&r->z, 0, sizeof(fq));
+        memcpy(r->z.v, RMODQ, sizeof RMODQ);
+        return;
+    }
+    fq z1z1, u2, s2, t;
+    fq_mul(&z1z1, &p->z, &p->z);
+    fq_mul(&u2, qx, &z1z1);
+    fq_mul(&t, &p->z, &z1z1);
+    fq_mul(&s2, qy, &t);
+    fq h, rr;
+    fq_sub(&h, &u2, &p->x);
+    fq_sub(&rr, &s2, &p->y);
+    fq_dbl(&rr, &rr); /* r = 2*(S2 - Y1) */
+    if (fq_is_zero(&h)) {
+        if (fq_is_zero(&rr)) { pt_double(r, p); return; }
+        pt_set_identity(r);
+        return;
+    }
+    fq hh, ii, j, v;
+    fq_mul(&hh, &h, &h);
+    fq_dbl(&ii, &hh);
+    fq_dbl(&ii, &ii); /* I = 4*HH */
+    fq_mul(&j, &h, &ii);
+    fq_mul(&v, &p->x, &ii);
+    pt out;
+    fq_mul(&t, &rr, &rr);
+    fq_sub(&t, &t, &j);
+    fq tv;
+    fq_dbl(&tv, &v);
+    fq_sub(&out.x, &t, &tv);
+    fq_sub(&t, &v, &out.x);
+    fq_mul(&t, &rr, &t);
+    fq t2;
+    fq_mul(&t2, &p->y, &j);
+    fq_dbl(&t2, &t2);
+    fq_sub(&out.y, &t, &t2);
+    fq_add(&t, &p->z, &h);
+    fq_mul(&t, &t, &t);
+    fq_sub(&t, &t, &z1z1);
+    fq_sub(&out.z, &t, &hh);
+    *r = out;
+}
+
 /* ---------------- exported ABI (canonical u64[4] coordinates) ------------- */
 
 static void load_pt(pt *p, const u64 *in) {
@@ -250,41 +300,99 @@ void g1_scalar_mul(const u64 *point, const u64 *scalar, u64 *out) {
 /* Pippenger MSM, window c = 8.  points: n * u64[12] (Jacobian canonical),
  * scalars: n * u64[4] canonical.  out: u64[12].  Window sums run in
  * parallel (OpenMP when available), then fold with a doubling chain. */
-void g1_msm(const u64 *points, const u64 *scalars, long n, u64 *out) {
-    enum { C = 8, NBUCKET = 1 << C, NW = (256 + C - 1) / C };
+/* generic Pippenger window pass (unsigned digits, full Jacobian adds) —
+ * fallback for inputs with projective (z != 1) points */
+static void msm_window_generic(const pt *pts, const u64 *scalars, long n,
+                               int w, pt *acc_out) {
+    enum { C = 8, NBUCKET = 1 << C };
+    pt *buckets = (pt *)__builtin_malloc(sizeof(pt) * NBUCKET);
+    for (int b = 0; b < NBUCKET; b++) pt_set_identity(&buckets[b]);
+    for (long i = 0; i < n; i++) {
+        int limb = (w * C) / 64;
+        int shift = (w * C) % 64;
+        u64 d = (scalars[4 * i + limb] >> shift);
+        if (shift > 64 - C && limb < 3)
+            d |= scalars[4 * i + limb + 1] << (64 - shift);
+        d &= (NBUCKET - 1);
+        if (d) pt_add(&buckets[d], &buckets[d], &pts[i]);
+    }
+    pt run, acc;
+    pt_set_identity(&run);
+    pt_set_identity(&acc);
+    for (int b = NBUCKET - 1; b >= 1; b--) {
+        pt_add(&run, &run, &buckets[b]);
+        pt_add(&acc, &acc, &run);
+    }
+    *acc_out = acc;
+    __builtin_free(buckets);
+}
+
+static void g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
+    enum { C = 8, HB = 1 << (C - 1), NW = (256 + C - 1) / C };
     pt wsum[NW];
 
-    /* preload points into Montgomery form once */
-    pt *pts = (pt *)__builtin_malloc(sizeof(pt) * (size_t)n);
-    #ifdef _OPENMP
-    #pragma omp parallel for schedule(static)
-    #endif
-    for (long i = 0; i < n; i++) load_pt(&pts[i], points + 12 * i);
+    /* the commitment bases are affine (z == 1): bucket adds then take the
+     * 7M+4S mixed-add path with signed C-bit digits (half the buckets) */
+    int affine = 1;
+    for (long i = 0; i < n && affine; i++)
+        affine = memcmp(pts[i].z.v, RMODQ, sizeof RMODQ) == 0;
 
-    #ifdef _OPENMP
-    #pragma omp parallel for schedule(dynamic, 1)
-    #endif
-    for (int w = 0; w < NW; w++) {
-        pt *buckets = (pt *)__builtin_malloc(sizeof(pt) * NBUCKET);
-        for (int b = 0; b < NBUCKET; b++) pt_set_identity(&buckets[b]);
+    if (affine) {
+        short *digs = (short *)__builtin_malloc(sizeof(short) * (size_t)n * NW);
+        fq *nys = (fq *)__builtin_malloc(sizeof(fq) * (size_t)n);
+        fq zero;
+        memset(&zero, 0, sizeof zero);
+        #ifdef _OPENMP
+        #pragma omp parallel for schedule(static)
+        #endif
         for (long i = 0; i < n; i++) {
-            int limb = (w * C) / 64;
-            int shift = (w * C) % 64;
-            u64 d = (scalars[4 * i + limb] >> shift);
-            if (shift > 64 - C && limb < 3)
-                d |= scalars[4 * i + limb + 1] << (64 - shift);
-            d &= (NBUCKET - 1);
-            if (d) pt_add(&buckets[d], &buckets[d], &pts[i]);
+            int carry = 0;
+            for (int w = 0; w < NW; w++) {
+                int limb = (w * C) / 64;
+                int shift = (w * C) % 64;
+                u64 d = (scalars[4 * i + limb] >> shift);
+                if (shift > 64 - C && limb < 3)
+                    d |= scalars[4 * i + limb + 1] << (64 - shift);
+                int v = (int)(d & ((1 << C) - 1)) + carry;
+                if (v > HB) { v -= (1 << C); carry = 1; } else carry = 0;
+                digs[i * NW + w] = (short)v;
+            }
+            /* carry out of the top window is impossible: scalars < 2^254 */
+            fq_sub(&nys[i], &zero, &pts[i].y);
         }
-        pt run, acc;
-        pt_set_identity(&run);
-        pt_set_identity(&acc);
-        for (int b = NBUCKET - 1; b >= 1; b--) {
-            pt_add(&run, &run, &buckets[b]);
-            pt_add(&acc, &acc, &run);
+        #ifdef _OPENMP
+        #pragma omp parallel for schedule(dynamic, 1)
+        #endif
+        for (int w = 0; w < NW; w++) {
+            pt *buckets = (pt *)__builtin_malloc(sizeof(pt) * (HB + 1));
+            for (int b = 1; b <= HB; b++) pt_set_identity(&buckets[b]);
+            for (long i = 0; i < n; i++) {
+                int v = digs[i * NW + w];
+                if (v > 0)
+                    pt_add_mixed(&buckets[v], &buckets[v],
+                                 &pts[i].x, &pts[i].y);
+                else if (v < 0)
+                    pt_add_mixed(&buckets[-v], &buckets[-v],
+                                 &pts[i].x, &nys[i]);
+            }
+            pt run, acc;
+            pt_set_identity(&run);
+            pt_set_identity(&acc);
+            for (int b = HB; b >= 1; b--) {
+                pt_add(&run, &run, &buckets[b]);
+                pt_add(&acc, &acc, &run);
+            }
+            wsum[w] = acc;
+            __builtin_free(buckets);
         }
-        wsum[w] = acc;
-        __builtin_free(buckets);
+        __builtin_free(digs);
+        __builtin_free(nys);
+    } else {
+        #ifdef _OPENMP
+        #pragma omp parallel for schedule(dynamic, 1)
+        #endif
+        for (int w = 0; w < NW; w++)
+            msm_window_generic(pts, scalars, n, w, &wsum[w]);
     }
 
     pt total;
@@ -294,8 +402,33 @@ void g1_msm(const u64 *points, const u64 *scalars, long n, u64 *out) {
             for (int d = 0; d < C; d++) pt_double(&total, &total);
         pt_add(&total, &total, &wsum[w]);
     }
-    __builtin_free(pts);
     store_pt(out, &total);
+}
+
+void g1_msm(const u64 *points, const u64 *scalars, long n, u64 *out) {
+    pt *pts = (pt *)__builtin_malloc(sizeof(pt) * (size_t)n);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (long i = 0; i < n; i++) load_pt(&pts[i], points + 12 * i);
+    g1_msm_core(pts, scalars, n, out);
+    __builtin_free(pts);
+}
+
+/* MSM over a subset of a fixed basis: out = sum_i scalars[i] *
+ * basis[indices[i]] — the CQ prover's sparse a/qa/a0 commitments gather a
+ * few thousand rows of a preprocessed table basis per lookup argument
+ * (static_lookup/prover.rs:220-257); indexing native-side skips the
+ * per-call Python gather + marshalling of ~100-byte points. */
+void g1_msm_indexed(const u64 *points, const long *indices,
+                    const u64 *scalars, long n, u64 *out) {
+    pt *pts = (pt *)__builtin_malloc(sizeof(pt) * (size_t)n);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (long i = 0; i < n; i++) load_pt(&pts[i], points + 12 * indices[i]);
+    g1_msm_core(pts, scalars, n, out);
+    __builtin_free(pts);
 }
 
 /* 4-bit fixed-window scalar mul on Montgomery-form points (internal). */

@@ -128,6 +128,42 @@ def native_msm(scalars: List[int], points_jac) -> Optional[tuple]:
     return _unpack_jac(out)
 
 
+def pack_points_affine(points) -> Optional["ctypes.Array"]:
+    """Pre-marshal a fixed MSM basis (affine G1 tuples) once; reuse with
+    native_msm_packed.  Re-packing the Lagrange basis dominated repeated
+    commit_lagrange calls (124 advice columns per SHA-256 proof)."""
+    if get_lib() is None:
+        return None
+    if any(pt is None for pt in points):
+        return None  # identity points: fall back to the generic path
+    return _pack_jac([(x, y, 1) for (x, y) in points])
+
+
+def native_msm_packed(scalars: List[int], packed, n: int) -> Optional[tuple]:
+    """MSM over the first n points of a pack_points_affine buffer."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint64 * 12)()
+    lib.g1_msm(packed, _pack_scalars(scalars), ctypes.c_long(n), out)
+    return _unpack_jac(out)
+
+
+def native_msm_indexed(scalars: List[int], indices: List[int],
+                       packed) -> Optional[tuple]:
+    """out = sum_i scalars[i] * basis[indices[i]] over a pack_points_affine
+    buffer (the CQ sparse a/qa/a0/m commitments)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(scalars)
+    idx = (ctypes.c_long * n)(*indices)
+    out = (ctypes.c_uint64 * 12)()
+    lib.g1_msm_indexed(packed, idx, _pack_scalars(scalars),
+                       ctypes.c_long(n), out)
+    return _unpack_jac(out)
+
+
 def native_batch_scalar_mul(points_jac, scalars: List[int]):
     lib = get_lib()
     if lib is None:

@@ -182,12 +182,21 @@ def msm_device(scalars: Sequence[int], points, digits: Optional[np.ndarray] = No
     return total
 
 
-def msm_host(scalars: Sequence[int], points) -> CH.G1Affine:
+def msm_host(scalars: Sequence[int], points, packed=None) -> CH.G1Affine:
     """Host Pippenger (c=8): native C kernel when available, else the
-    pure-Python Jacobian accumulation."""
+    pure-Python Jacobian accumulation.
+
+    packed: optional pre-marshalled basis buffer (native_loader
+    .pack_points_affine) covering at least len(scalars) points — skips the
+    per-call point marshalling for fixed commitment bases."""
     n = len(scalars)
     if n == 0:
         return None
+    if packed is not None:
+        from ..native_loader import native_msm_packed
+        res = native_msm_packed([s % H.FR_MOD for s in scalars], packed, n)
+        if res is not None:
+            return CH.jac_to_affine(res)
     from ..native_loader import native_msm
     jac = [CH.jac_from_affine(pt) for pt in points[:n]]
     res = native_msm([s % H.FR_MOD for s in scalars], jac)
@@ -220,8 +229,30 @@ def msm_host(scalars: Sequence[int], points) -> CH.G1Affine:
     return CH.jac_to_affine(total)
 
 
-def msm(scalars: Sequence[int], points) -> CH.G1Affine:
+def msm(scalars: Sequence[int], points, packed=None) -> CH.G1Affine:
     """Dispatch: tiny MSMs on host, big ones on the TPU."""
     if len(scalars) < HOST_THRESHOLD:
-        return msm_host(scalars, points)
+        return msm_host(scalars, points, packed=packed)
     return msm_device(scalars, points)
+
+
+def packed_basis(obj, attr: str, points):
+    """Lazily cache a pre-marshalled native basis buffer on `obj` (None when
+    the native lib is unavailable)."""
+    if attr not in obj.__dict__:
+        from ..native_loader import pack_points_affine
+        obj.__dict__[attr] = pack_points_affine(points)
+    return obj.__dict__[attr]
+
+
+def msm_indexed(scalars: Sequence[int], indices: Sequence[int], points,
+                packed=None) -> CH.G1Affine:
+    """sum_i scalars[i] * points[indices[i]]; native indexed kernel over a
+    packed basis when available, else gather + host path."""
+    if packed is not None:
+        from ..native_loader import native_msm_indexed
+        res = native_msm_indexed([s % H.FR_MOD for s in scalars],
+                                 list(indices), packed)
+        if res is not None:
+            return CH.jac_to_affine(res)
+    return msm_host(list(scalars), [points[i] for i in indices])

@@ -86,8 +86,10 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
 
     f_cm = params.commit_lagrange(f)
     idxs = sorted(m_sparse)
-    m_cm = M.msm([m_sparse[i] for i in idxs],
-                 [table_config.g1_lagrange[i] for i in idxs])
+    m_cm = M.msm_indexed(
+        [m_sparse[i] for i in idxs], idxs, table_config.g1_lagrange,
+        packed=M.packed_basis(table_config, "_g1l_packed",
+                              table_config.g1_lagrange))
     transcript.write_point(f_cm)
     transcript.write_point(m_cm)
     return {
@@ -118,11 +120,19 @@ def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
         tvs.append(tv)
     denom_invs = batch_inv([(tv + beta) % P for tv in tvs], P)
     a_vals = [committed["m_sparse"][i] * dv % P for i, dv in zip(idxs, denom_invs)]
-    a_cm = M.msm(a_vals, [table_config.g1_lagrange[i] for i in idxs])
-    a0_cm = M.msm(a_vals, [table_config.g_lagrange_opening_at_0[i] for i in idxs])
+    a_cm = M.msm_indexed(
+        a_vals, idxs, table_config.g1_lagrange,
+        packed=M.packed_basis(table_config, "_g1l_packed",
+                              table_config.g1_lagrange))
+    a0_cm = M.msm_indexed(
+        a_vals, idxs, table_config.g_lagrange_opening_at_0,
+        packed=M.packed_basis(table_config, "_g1l0_packed",
+                              table_config.g_lagrange_opening_at_0))
     qa_cm = None
     for table in tables:
-        part = M.msm(a_vals, [table.qs[i] for i in idxs])
+        part = M.msm_indexed(
+            a_vals, idxs, table.qs,
+            packed=M.packed_basis(table, "_qs_packed", table.qs))
         qa_cm = CH.g1_add(CH.g1_mul(qa_cm, theta) if qa_cm else None, part)
 
     bf = pk.vk.cs.blinding_factors()
@@ -134,7 +144,8 @@ def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
     b_poly = domain.lagrange_to_coeff_host(bs)
 
     b0_coeffs = b_poly[1:]
-    p_cm = M.msm(b0_coeffs, pk.b0_g1_bound[: len(b0_coeffs)])
+    p_cm = M.msm(b0_coeffs, pk.b0_g1_bound[: len(b0_coeffs)],
+                 packed=M.packed_basis(pk, "_b0_bound_packed", pk.b0_g1_bound))
     b0_poly = b0_coeffs + [0]
 
     transcript.write_point(a_cm)

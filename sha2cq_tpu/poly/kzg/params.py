@@ -89,12 +89,15 @@ class ParamsKZG:
     def commit(self, coeffs: Sequence[int]) -> CH.G1Affine:
         """Commit to a polynomial in coefficient (monomial) form."""
         assert len(coeffs) <= len(self.g)
-        return M.msm(list(coeffs), self.g[: len(coeffs)])
+        return M.msm(list(coeffs), self.g[: len(coeffs)],
+                     packed=M.packed_basis(self, "_g_packed", self.g))
 
     def commit_lagrange(self, values: Sequence[int]) -> CH.G1Affine:
         """Commit to a polynomial given by its evaluations on the domain."""
         assert len(values) == self.n
-        return M.msm(list(values), self.g_lagrange)
+        return M.msm(list(values), self.g_lagrange,
+                     packed=M.packed_basis(self, "_g_lagrange_packed",
+                                           self.g_lagrange))
 
     def verifier_params(self) -> "ParamsKZG":
         return self

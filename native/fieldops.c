@@ -122,6 +122,22 @@ static void fq_from_mont(fq *r, const fq *a) {
 
 static void fq_dbl(fq *r, const fq *a) { fq_add(r, a, a); }
 
+/* Fermat inversion a^(q-2) (Montgomery form in/out).  Used once per
+ * batched-inversion round in the affine MSM — amortized to ~0 per add. */
+static void fq_inv(fq *r, const fq *a) {
+    static const u64 QM2[4] = {0x3c208c16d87cfd45ULL, 0x97816a916871ca8dULL,
+                               0xb85045b68181585dULL, 0x30644e72e131a029ULL};
+    fq acc, base = *a;
+    memset(&acc, 0, sizeof acc);
+    memcpy(acc.v, RMODQ, sizeof RMODQ);
+    for (int limb = 0; limb < 4; limb++)
+        for (int bit = 0; bit < 64; bit++) {
+            if ((QM2[limb] >> bit) & 1) fq_mul(&acc, &acc, &base);
+            fq_mul(&base, &base, &base);
+        }
+    *r = acc;
+}
+
 /* Jacobian point, Montgomery-form coordinates */
 typedef struct { fq x, y, z; } pt;
 
@@ -327,18 +343,155 @@ static void msm_window_generic(const pt *pts, const u64 *scalars, long n,
     __builtin_free(buckets);
 }
 
-static void g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
-    enum { C = 8, HB = 1 << (C - 1), NW = (256 + C - 1) / C };
-    pt wsum[NW];
+/* Batch-affine bucket accumulation for one window: all points landing in
+ * each bucket are tree-reduced with AFFINE additions whose divisions share
+ * one batched inversion per round (Montgomery trick), ~5M+1S per add vs
+ * ~7M+4S for the Jacobian mixed add.  (The reference carries the same idea
+ * as an unused `batch_add!` macro, derive/curve.rs:2-143; here it is the
+ * production path.)  px/py are scratch of size >= n; pairbuf of >= n/2+1. */
+static void msm_window_affine(const pt *pts, const fq *nys, const short *digs,
+                              long n, int nw, int w, int hb,
+                              fq *px, fq *py, fq *pairbuf, pt *acc_out) {
+    long *cnt = (long *)__builtin_malloc(sizeof(long) * (size_t)(hb + 1) * 2);
+    long *off = cnt + hb + 1;
+    memset(cnt, 0, sizeof(long) * (size_t)(hb + 1));
+    for (long i = 0; i < n; i++) {
+        int v = digs[i * nw + w];
+        if (v) cnt[v > 0 ? v : -v]++;
+    }
+    long tot = 0;
+    for (int b = 1; b <= hb; b++) { off[b] = tot; tot += cnt[b]; }
+    long *fill = (long *)__builtin_malloc(sizeof(long) * (size_t)(hb + 1));
+    memcpy(fill, off, sizeof(long) * (size_t)(hb + 1));
+    for (long i = 0; i < n; i++) {
+        int v = digs[i * nw + w];
+        if (!v) continue;
+        int b = v > 0 ? v : -v;
+        long at = fill[b]++;
+        px[at] = pts[i].x;
+        py[at] = v > 0 ? pts[i].y : nys[i];
+    }
+    __builtin_free(fill);
 
-    /* the commitment bases are affine (z == 1): bucket adds then take the
-     * 7M+4S mixed-add path with signed C-bit digits (half the buckets) */
+    /* tree rounds: halve every bucket's list with one shared inversion */
+    fq *dinv = pairbuf;
+    long maxc = 0;
+    for (int b = 1; b <= hb; b++) if (cnt[b] > maxc) maxc = cnt[b];
+    while (maxc > 1) {
+        /* collect denominators (dead pairs contribute a 1 so indices align) */
+        long m = 0;
+        for (int b = 1; b <= hb; b++) {
+            long base = off[b];
+            for (long k = 0; 2 * k + 1 < cnt[b]; k++) {
+                const fq *xa = &px[base + 2 * k], *xb = &px[base + 2 * k + 1];
+                fq d;
+                fq_sub(&d, xb, xa);
+                if (fq_is_zero(&d)) {
+                    if (memcmp(py[base + 2 * k].v, py[base + 2 * k + 1].v,
+                               sizeof(fq)) == 0)
+                        fq_dbl(&d, &py[base + 2 * k]);     /* doubling: 2y */
+                    else
+                        memcpy(d.v, RMODQ, sizeof RMODQ);  /* cancel: dead */
+                }
+                dinv[m++] = d;
+            }
+        }
+        /* batched inversion in place */
+        if (m) {
+            fq accp, run;
+            memcpy(accp.v, RMODQ, sizeof RMODQ);
+            fq *pref = pairbuf + m;    /* prefix products after dinv slots */
+            for (long j = 0; j < m; j++) {
+                pref[j] = accp;
+                fq_mul(&accp, &accp, &dinv[j]);
+            }
+            fq_inv(&run, &accp);
+            for (long j = m - 1; j >= 0; j--) {
+                fq d = dinv[j];
+                fq_mul(&dinv[j], &run, &pref[j]);
+                fq_mul(&run, &run, &d);
+            }
+        }
+        /* complete the additions, compacting each bucket in place */
+        long mi = 0;
+        for (int b = 1; b <= hb; b++) {
+            long base = off[b], wr = 0;
+            long pairs = cnt[b] / 2;
+            for (long k = 0; k < pairs; k++) {
+                fq xa = px[base + 2 * k], ya = py[base + 2 * k];
+                fq xb = px[base + 2 * k + 1], yb = py[base + 2 * k + 1];
+                fq d = dinv[mi++];
+                fq dx, lam, num;
+                fq_sub(&dx, &xb, &xa);
+                if (fq_is_zero(&dx)) {
+                    if (memcmp(ya.v, yb.v, sizeof(fq)) != 0)
+                        continue;                   /* P + (-P): drop */
+                    fq xx;                          /* doubling: 3x^2 / 2y */
+                    fq_mul(&xx, &xa, &xa);
+                    fq_dbl(&num, &xx);
+                    fq_add(&num, &num, &xx);
+                } else {
+                    fq_sub(&num, &yb, &ya);
+                }
+                fq_mul(&lam, &num, &d);
+                fq x3, y3, t;
+                fq_mul(&x3, &lam, &lam);
+                fq_sub(&x3, &x3, &xa);
+                fq_sub(&x3, &x3, &xb);
+                fq_sub(&t, &xa, &x3);
+                fq_mul(&y3, &lam, &t);
+                fq_sub(&y3, &y3, &ya);
+                px[base + wr] = x3;
+                py[base + wr] = y3;
+                wr++;
+            }
+            if (cnt[b] & 1) {
+                px[base + wr] = px[base + cnt[b] - 1];
+                py[base + wr] = py[base + cnt[b] - 1];
+                wr++;
+            }
+            cnt[b] = wr;
+        }
+        maxc = 0;
+        for (int b = 1; b <= hb; b++) if (cnt[b] > maxc) maxc = cnt[b];
+    }
+
+    /* bucket fold: sum_b b * bucket[b] via running sums */
+    pt run, acc;
+    pt_set_identity(&run);
+    pt_set_identity(&acc);
+    for (int b = hb; b >= 1; b--) {
+        if (cnt[b])
+            pt_add_mixed(&run, &run, &px[off[b]], &py[off[b]]);
+        pt_add(&acc, &acc, &run);
+    }
+    *acc_out = acc;
+    __builtin_free(cnt);
+}
+
+static void g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
+    /* the commitment bases are affine (z == 1): batch-affine tree path
+     * with signed c-bit digits (half the buckets) */
     int affine = 1;
     for (long i = 0; i < n && affine; i++)
         affine = memcmp(pts[i].z.v, RMODQ, sizeof RMODQ) == 0;
 
+    /* window size: larger MSMs amortize the 2^(c-1)-bucket fold; the
+     * generic (projective-input) fallback is fixed at c = 8 */
+    int c = 8;
     if (affine) {
-        short *digs = (short *)__builtin_malloc(sizeof(short) * (size_t)n * NW);
+        int lg = 0;
+        while ((1L << lg) < n) lg++;
+        c = lg - 5;
+        if (c < 8) c = 8;
+        if (c > 14) c = 14;
+    }
+    const int hb = 1 << (c - 1);
+    const int nw = (256 + c - 1) / c;
+    pt wsum[32];
+
+    if (affine) {
+        short *digs = (short *)__builtin_malloc(sizeof(short) * (size_t)n * nw);
         fq *nys = (fq *)__builtin_malloc(sizeof(fq) * (size_t)n);
         fq zero;
         memset(&zero, 0, sizeof zero);
@@ -347,15 +500,15 @@ static void g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
         #endif
         for (long i = 0; i < n; i++) {
             int carry = 0;
-            for (int w = 0; w < NW; w++) {
-                int limb = (w * C) / 64;
-                int shift = (w * C) % 64;
+            for (int w = 0; w < nw; w++) {
+                int limb = (w * c) / 64;
+                int shift = (w * c) % 64;
                 u64 d = (scalars[4 * i + limb] >> shift);
-                if (shift > 64 - C && limb < 3)
+                if (shift > 64 - c && limb < 3)
                     d |= scalars[4 * i + limb + 1] << (64 - shift);
-                int v = (int)(d & ((1 << C) - 1)) + carry;
-                if (v > HB) { v -= (1 << C); carry = 1; } else carry = 0;
-                digs[i * NW + w] = (short)v;
+                int v = (int)(d & ((u64)(1 << c) - 1)) + carry;
+                if (v > hb) { v -= (1 << c); carry = 1; } else carry = 0;
+                digs[i * nw + w] = (short)v;
             }
             /* carry out of the top window is impossible: scalars < 2^254 */
             fq_sub(&nys[i], &zero, &pts[i].y);
@@ -363,27 +516,13 @@ static void g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
         #ifdef _OPENMP
         #pragma omp parallel for schedule(dynamic, 1)
         #endif
-        for (int w = 0; w < NW; w++) {
-            pt *buckets = (pt *)__builtin_malloc(sizeof(pt) * (HB + 1));
-            for (int b = 1; b <= HB; b++) pt_set_identity(&buckets[b]);
-            for (long i = 0; i < n; i++) {
-                int v = digs[i * NW + w];
-                if (v > 0)
-                    pt_add_mixed(&buckets[v], &buckets[v],
-                                 &pts[i].x, &pts[i].y);
-                else if (v < 0)
-                    pt_add_mixed(&buckets[-v], &buckets[-v],
-                                 &pts[i].x, &nys[i]);
-            }
-            pt run, acc;
-            pt_set_identity(&run);
-            pt_set_identity(&acc);
-            for (int b = HB; b >= 1; b--) {
-                pt_add(&run, &run, &buckets[b]);
-                pt_add(&acc, &acc, &run);
-            }
-            wsum[w] = acc;
-            __builtin_free(buckets);
+        for (int w = 0; w < nw; w++) {
+            fq *px = (fq *)__builtin_malloc(sizeof(fq) * (size_t)(3 * n + 2));
+            fq *py = px + n;
+            fq *pairbuf = py + n;   /* n/2 dinv + n/2 prefix + slack */
+            msm_window_affine(pts, nys, digs, n, nw, w, hb,
+                              px, py, pairbuf, &wsum[w]);
+            __builtin_free(px);
         }
         __builtin_free(digs);
         __builtin_free(nys);
@@ -391,15 +530,15 @@ static void g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
         #ifdef _OPENMP
         #pragma omp parallel for schedule(dynamic, 1)
         #endif
-        for (int w = 0; w < NW; w++)
+        for (int w = 0; w < nw; w++)
             msm_window_generic(pts, scalars, n, w, &wsum[w]);
     }
 
     pt total;
     pt_set_identity(&total);
-    for (int w = NW - 1; w >= 0; w--) {
+    for (int w = nw - 1; w >= 0; w--) {
         if (!pt_is_identity(&total))
-            for (int d = 0; d < C; d++) pt_double(&total, &total);
+            for (int d = 0; d < c; d++) pt_double(&total, &total);
         pt_add(&total, &total, &wsum[w]);
     }
     store_pt(out, &total);

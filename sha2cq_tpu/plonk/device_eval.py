@@ -7,12 +7,21 @@ replaced by fused jnp limb kernels over (16, extended_n) arrays.
 The whole middle of the prover — basis conversions of every committed
 polynomial, the h accumulation, division by the vanishing polynomial and the
 inverse transform back to coefficients — runs as a SHORT pipeline of jitted
-pieces per proving key (`build_h_fn`): one conversions piece, gate-fold
-chunks bounded to ~200 expression nodes each, and one protocol piece.  All
-intermediate state stays device-resident, so a proof pays only a handful of
-~7 ms tunnel round trips.  (A single fused graph was tried first: beyond
-~1000 expression nodes XLA's algebraic simplifier goes superlinear/circular
-and the SHA-256 circuit's h took >30 min to compile.)
+pieces per proving key (`build_h_fn`): one conversions piece, bounded
+term-fold chunks (gates AND protocol terms, ~100 field ops each), and one
+quotient piece.  All intermediate state stays device-resident, so a proof
+pays only a handful of ~7 ms tunnel round trips.  (A single fused graph was
+tried first: beyond ~1000 expression nodes XLA's algebraic simplifier goes
+superlinear/circular and the SHA-256 circuit's h took >30 min to compile;
+an unchunked protocol piece alone cost ~4 min per compile.)
+
+Every large per-pk constant (fixed/sigma extended cosets, l0/l_last/
+l_active selectors, vanishing-poly inverses, zeta patterns) travels through
+the jit boundary as an ARGUMENT pytree, like the NttPlan digit matrices:
+the axon remote compile rejects big embedded constants (HTTP 413), modules
+stay small, and compile-cache keys depend only on circuit SHAPE — two
+circuits with the same constraint system and k (e.g. the 1-block and
+64-block SHA-256 instances) share every compiled piece.
 
 The prover uses this via create_proof(..., h_device=True); byte-identical
 proofs vs the host path are pinned in tests.
@@ -38,26 +47,25 @@ def _const(v: int):
     return D.pack_scalar(v, FR).reshape(NLIMB, 1)
 
 
-def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 200):
+def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
     """Returns fn(inputs) -> h coefficient array (16, n*quotient), where fn
-    wraps a short pipeline of jitted pieces (conversions, gate-fold chunks,
-    protocol terms + quotient) with all intermediate state device-resident.
+    wraps a short pipeline of jitted pieces (conversions, term-fold chunks,
+    quotient) with all intermediate state device-resident.
 
     inputs pytree (all Montgomery limb arrays):
       advice   : (16, C_a, n)   Lagrange advice columns
       instance : (16, C_i, n)   Lagrange instance columns
       z        : (16, S, n)     permutation grand products (Lagrange)
-      lookups  : list of {"product","input","table"} (16, n) Lagrange/coeff?
-                 -> Lagrange for product/input/table (converted inside)
-      static   : list of {"b","f"} coefficient arrays (16, n)
+      lookups  : (16, 3L, n)    product/permuted-input/permuted-table triples
+      static   : (16, 2Q, n)    CQ (b, f) coefficient pairs
       scalars  : {"y","beta","gamma","theta"} (16, 1) + "challenges" (16,ch,1)
 
     use_mxu: route every basis conversion through the MXU matmul-NTT
-    (ops/mxu_ntt.py) instead of VPU butterflies.  The NttPlan digit matrices
-    travel through the jit boundary as ARGUMENTS (axon remote compile
-    rejects big embedded constants), shared across all conversions.  Auto:
-    on for single-device k >= 12 (where the butterfly trace is both slow to
-    compile and VPU-multiply-bound)."""
+    (ops/mxu_ntt.py) instead of VPU butterflies.  Auto: on for single-device
+    k >= 12 (where the butterfly trace is both slow to compile and
+    VPU-multiply-bound)."""
+    import numpy as np
+
     from ..ops import mxu_ntt as MX
 
     domain = pk.vk.domain
@@ -81,17 +89,25 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 200):
     ifft_div = _const(domain.ifft_divisor)
     ext_ifft_div = _const(domain.extended_ifft_divisor)
 
-    fixed_cosets = jnp.stack([D.pack(c, FR) for c in pk.fixed_cosets], axis=1) \
-        if pk.fixed_cosets else None
-    sigma_cosets = [D.pack(c, FR) for c in pk.permutation.cosets]
-    l0 = D.pack(pk.l0, FR)
-    l_last = D.pack(pk.l_last, FR)
-    l_active = D.pack(pk.l_active_row, FR)
-    vanishing_inv = jnp.asarray(
-        __import__("numpy").tile(D.np_pack(domain.t_evaluations_inv, FR),
-                                 size // len(domain.t_evaluations_inv)))
+    # ---- per-pk constants, passed as jit arguments (see module docstring) --
     coset_pts = NTT.powers_host(domain.extended_omega, size, P)
-    zeta_times_coset = D.pack([H.FR_ZETA * w % P for w in coset_pts], FR)
+    consts = {
+        "fixed": (jnp.stack([D.pack(c, FR) for c in pk.fixed_cosets], axis=1)
+                  if pk.fixed_cosets
+                  else jnp.zeros((NLIMB, 0, size), dtype=D.U32)),
+        "sigma": (jnp.stack([D.pack(c, FR) for c in pk.permutation.cosets],
+                            axis=1) if pk.permutation.cosets
+                  else jnp.zeros((NLIMB, 0, size), dtype=D.U32)),
+        "l0": D.pack(pk.l0, FR),
+        "l_last": D.pack(pk.l_last, FR),
+        "l_active": D.pack(pk.l_active_row, FR),
+        "vanishing_inv": jnp.asarray(
+            np.tile(D.np_pack(domain.t_evaluations_inv, FR),
+                    size // len(domain.t_evaluations_inv))),
+        "zeta_times_coset": D.pack([H.FR_ZETA * w % P for w in coset_pts], FR),
+        "zeta_fwd": domain._zeta_pattern(domain.n, True),
+        "zeta_bwd": domain._zeta_pattern(size, False),
+    }
 
     bf = cs.blinding_factors()
     chunk_len = max(pk.vk.cs_degree - 2, 1)
@@ -101,45 +117,45 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 200):
     def roll(a, rot):
         return jnp.roll(a, -rot * rot_scale, axis=1)
 
-    def coeff_to_extended_b(coeff, mxu_plans):
+    def coeff_to_extended_b(coeff, mxu_plans, cn):
         if use_mxu:
-            a = D.mont_mul(coeff, domain._zeta_pattern(domain.n, True)[:, None, :], FR)
+            a = D.mont_mul(coeff, cn["zeta_fwd"][:, None, :], FR)
             pad = jnp.zeros((NLIMB, a.shape[1], size - domain.n), dtype=a.dtype)
             a = jnp.concatenate([a, pad], axis=2)
             return MX.mxu_ntt_batch(a, mxu_plans["c2e"], res_omegas["c2e"])
         return domain.coeff_to_extended_batch(coeff)
 
-    def to_coset_batch(lag, mxu_plans):
+    def to_coset_batch(lag, mxu_plans, cn):
         if use_mxu:
             coeff = MX.mxu_ntt_batch(lag, mxu_plans["l2c"], res_omegas["l2c"])
             coeff = D.mont_mul(coeff, ifft_div[:, None, :], FR)
-            return coeff_to_extended_b(coeff, mxu_plans)
+            return coeff_to_extended_b(coeff, mxu_plans, cn)
         coeff = domain.lagrange_to_coeff_batch(lag)
         return domain.coeff_to_extended_batch(coeff)
 
     # ---- piece 0: basis conversions (NTT-heavy, few distinct ops) ---------
-    def convert_fn(inputs, mxu_plans):
+    def convert_fn(inputs, mxu_plans, cn):
         def conv(a):
-            return to_coset_batch(a, mxu_plans) if a.shape[1] else \
+            return to_coset_batch(a, mxu_plans, cn) if a.shape[1] else \
                 jnp.zeros((NLIMB, 0, size), dtype=a.dtype)
         return {
             "advice": conv(inputs["advice"]),
             "instance": conv(inputs["instance"]),
             "z": conv(inputs["z"]),
             "lk": conv(inputs["lookups"]),
-            "st": (coeff_to_extended_b(inputs["static"], mxu_plans)
+            "st": (coeff_to_extended_b(inputs["static"], mxu_plans, cn)
                    if inputs["static"].shape[1]
                    else jnp.zeros((NLIMB, 0, size), dtype=inputs["static"].dtype)),
         }
 
-    def make_eval_expr(state, sc):
+    def make_eval_expr(state, sc, cn):
         advice, instance = state["advice"], state["instance"]
 
         def eval_expr(expr: Expression):
             ops = {
                 "const": lambda v: _const(v),
                 "selector": lambda e: (_ for _ in ()).throw(ValueError("selector")),
-                "fixed": lambda e: roll(fixed_cosets[:, e.column.index], e.rotation),
+                "fixed": lambda e: roll(cn["fixed"][:, e.column.index], e.rotation),
                 "advice": lambda e: roll(advice[:, e.column.index], e.rotation),
                 "instance": lambda e: roll(instance[:, e.column.index], e.rotation),
                 "challenge": lambda e: sc["challenges"][:, e.value],
@@ -158,12 +174,21 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 200):
     def fold(acc, y, term):
         return D.add(D.mont_mul(acc, y, FR), term, FR)
 
-    # ---- gate pieces: the custom-gate y-fold, chunked by expression size --
+    def col_coset(state, cn, column):
+        if column.kind == "advice":
+            return state["advice"][:, column.index]
+        if column.kind == "fixed":
+            return cn["fixed"][:, column.index]
+        return state["instance"][:, column.index]
+
+    # ---- term chunking -----------------------------------------------------
     # One giant fused graph (1000+ expression nodes x ~300 HLO ops per
     # mont_mul) sends XLA's algebraic simplifier into its superlinear/
-    # circular regime (observed: >30 min compiles for the SHA circuit's h).
-    # Bounded chunks compile linearly and cost only ~7 ms tunnel overhead
-    # per extra dispatch.
+    # circular regime (observed: >30 min compiles for the SHA circuit's h;
+    # ~4 min for an unchunked protocol piece even at k=3).  EVERY stage —
+    # gates AND protocol terms — is therefore grouped into bounded chunks
+    # (~max_chunk_nodes field ops each); chunks compile linearly and cost
+    # only ~7 ms tunnel overhead per extra dispatch.
     def expr_nodes(e):
         return e.evaluate({
             "const": lambda v: 1, "selector": lambda e: 1,
@@ -173,139 +198,151 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 200):
             "prod": lambda a, b: a + b + 1, "scaled": lambda a, v: a + 1,
         })
 
-    gate_polys = [poly for gate in cs.gates for poly in gate.polys]
-    gate_chunks: List[List[Expression]] = []
-    cur: List[Expression] = []
-    cur_nodes = 0
-    for poly in gate_polys:
-        nn = expr_nodes(poly)
-        if cur and cur_nodes + nn > max_chunk_nodes:
-            gate_chunks.append(cur)
-            cur, cur_nodes = [], 0
-        cur.append(poly)
-        cur_nodes += nn
-    if cur:
-        gate_chunks.append(cur)
+    # each work item: (cost_estimate, emit(values, state, sc, cn) -> values),
+    # in the exact host evaluate_h fold order (proofs must stay byte-equal)
+    items = []
 
-    def make_gate_fn(polys):
-        def gate_fn(values, state, sc):
-            eval_expr = make_eval_expr(state, sc)
-            for poly in polys:
-                values = fold(values, sc["y"], eval_expr(poly))
-            return values
-        return jax.jit(gate_fn)
+    for gate in cs.gates:
+        for poly in gate.polys:
+            def emit_gate(values, state, sc, cn, poly=poly):
+                return fold(values, sc["y"],
+                            make_eval_expr(state, sc, cn)(poly))
+            items.append((expr_nodes(poly), emit_gate))
 
-    gate_jits = [make_gate_fn(polys) for polys in gate_chunks]
+    if num_sets:
+        def emit_perm_head(values, state, sc, cn):
+            one = D.ones((size,), FR)
+            first = state["z"][:, 0]
+            last = state["z"][:, num_sets - 1]
+            values = fold(values, sc["y"],
+                          D.mont_mul(D.sub(one, first, FR), cn["l0"], FR))
+            return fold(values, sc["y"], D.mont_mul(
+                D.sub(D.mont_mul(last, last, FR), last, FR), cn["l_last"], FR))
+        items.append((5, emit_perm_head))
 
-    # ---- protocol piece: permutation + lookups + CQ + quotient ------------
-    def protocol_fn(values, state, sc, mxu_plans):
-        y, beta, gamma, theta = sc["y"], sc["beta"], sc["gamma"], sc["theta"]
-        one = D.ones((size,), FR)
-        eval_expr = make_eval_expr(state, sc)
-        advice, instance = state["advice"], state["instance"]
+        for i in range(1, num_sets):
+            def emit_boundary(values, state, sc, cn, i=i):
+                term = D.sub(state["z"][:, i],
+                             roll(state["z"][:, i - 1], -(bf + 1)), FR)
+                return fold(values, sc["y"], D.mont_mul(term, cn["l0"], FR))
+            items.append((3, emit_boundary))
 
-        # permutation
-        if num_sets:
-            z_cosets = state["z"]
-            sets = [z_cosets[:, i] for i in range(num_sets)]
-            first, last = sets[0], sets[-1]
-            last_rot = -(bf + 1)
-
-            values = fold(values, y, D.mont_mul(D.sub(one, first, FR), l0, FR))
-            values = fold(values, y, D.mont_mul(
-                D.sub(D.mont_mul(last, last, FR), last, FR), l_last, FR))
-            for i in range(1, num_sets):
-                values = fold(values, y, D.mont_mul(
-                    D.sub(sets[i], roll(sets[i - 1], last_rot), FR), l0, FR))
-
-            beta_terms = D.mont_mul(zeta_times_coset, beta, FR)
-
-            def col_coset(column):
-                if column.kind == "advice":
-                    return advice[:, column.index]
-                if column.kind == "fixed":
-                    return fixed_cosets[:, column.index]
-                return instance[:, column.index]
-
-            for chunk_idx, z in enumerate(sets):
+        for chunk_idx in range(num_sets):
+            def emit_perm_set(values, state, sc, cn, chunk_idx=chunk_idx):
+                y, beta, gamma = sc["y"], sc["beta"], sc["gamma"]
+                z = state["z"][:, chunk_idx]
                 cols = columns[chunk_idx * chunk_len:(chunk_idx + 1) * chunk_len]
-                sigmas = sigma_cosets[chunk_idx * chunk_len:(chunk_idx + 1) * chunk_len]
                 left = roll(z, 1)
-                for column, sigma in zip(cols, sigmas):
-                    vals = col_coset(column)
+                for j, column in enumerate(cols):
+                    sigma = cn["sigma"][:, chunk_idx * chunk_len + j]
+                    vals = col_coset(state, cn, column)
                     left = D.mont_mul(left, D.add(
-                        D.add(vals, D.mont_mul(beta, sigma, FR), FR), gamma, FR), FR)
+                        D.add(vals, D.mont_mul(beta, sigma, FR), FR),
+                        gamma, FR), FR)
                 right = z
                 delta_pow = pow(H.FR_DELTA, chunk_idx * chunk_len, P)
-                cur_delta = D.mont_mul(beta_terms, _const(delta_pow), FR)
+                cur_delta = D.mont_mul(
+                    D.mont_mul(cn["zeta_times_coset"], beta, FR),
+                    _const(delta_pow), FR)
                 for column in cols:
-                    vals = col_coset(column)
+                    vals = col_coset(state, cn, column)
                     right = D.mont_mul(
                         right, D.add(D.add(vals, cur_delta, FR), gamma, FR), FR)
                     cur_delta = D.mont_mul(cur_delta, _const(H.FR_DELTA), FR)
-                values = fold(values, y, D.mont_mul(
-                    D.sub(left, right, FR), l_active, FR))
+                return fold(values, y, D.mont_mul(
+                    D.sub(left, right, FR), cn["l_active"], FR))
+            items.append((4 + 5 * chunk_len, emit_perm_set))
 
-        # dynamic lookups
-        if cs.lookups:
-            lk_stack = state["lk"]
-            for n_lk, arg in enumerate(cs.lookups):
-                product = lk_stack[:, 3 * n_lk]
-                inp = lk_stack[:, 3 * n_lk + 1]
-                tab = lk_stack[:, 3 * n_lk + 2]
-                comp_in = D.zeros((size,), FR)
-                for e in arg.input_expressions:
-                    comp_in = D.add(D.mont_mul(comp_in, theta, FR), eval_expr(e), FR)
-                comp_tab = D.zeros((size,), FR)
-                for e in arg.table_expressions:
-                    comp_tab = D.add(D.mont_mul(comp_tab, theta, FR), eval_expr(e), FR)
-                a_minus_s = D.sub(inp, tab, FR)
-                values = fold(values, y, D.mont_mul(D.sub(one, product, FR), l0, FR))
-                values = fold(values, y, D.mont_mul(
-                    D.sub(D.mont_mul(product, product, FR), product, FR), l_last, FR))
-                table_value = D.mont_mul(D.add(comp_in, beta, FR),
-                                         D.add(comp_tab, gamma, FR), FR)
-                left = D.mont_mul(D.mont_mul(roll(product, 1),
-                                             D.add(inp, beta, FR), FR),
-                                  D.add(tab, gamma, FR), FR)
-                values = fold(values, y, D.mont_mul(
-                    D.sub(left, D.mont_mul(product, table_value, FR), FR),
-                    l_active, FR))
-                values = fold(values, y, D.mont_mul(a_minus_s, l0, FR))
-                values = fold(values, y, D.mont_mul(
-                    D.mont_mul(a_minus_s, D.sub(inp, roll(inp, -1), FR), FR),
-                    l_active, FR))
+    for n_lk, arg in enumerate(cs.lookups):
+        def emit_lookup(values, state, sc, cn, n_lk=n_lk, arg=arg):
+            y, beta, gamma, theta = (sc["y"], sc["beta"], sc["gamma"],
+                                     sc["theta"])
+            one = D.ones((size,), FR)
+            eval_expr = make_eval_expr(state, sc, cn)
+            product = state["lk"][:, 3 * n_lk]
+            inp = state["lk"][:, 3 * n_lk + 1]
+            tab = state["lk"][:, 3 * n_lk + 2]
+            comp_in = D.zeros((size,), FR)
+            for e in arg.input_expressions:
+                comp_in = D.add(D.mont_mul(comp_in, theta, FR), eval_expr(e), FR)
+            comp_tab = D.zeros((size,), FR)
+            for e in arg.table_expressions:
+                comp_tab = D.add(D.mont_mul(comp_tab, theta, FR), eval_expr(e), FR)
+            a_minus_s = D.sub(inp, tab, FR)
+            values = fold(values, y, D.mont_mul(D.sub(one, product, FR),
+                                                cn["l0"], FR))
+            values = fold(values, y, D.mont_mul(
+                D.sub(D.mont_mul(product, product, FR), product, FR),
+                cn["l_last"], FR))
+            table_value = D.mont_mul(D.add(comp_in, beta, FR),
+                                     D.add(comp_tab, gamma, FR), FR)
+            left = D.mont_mul(D.mont_mul(roll(product, 1),
+                                         D.add(inp, beta, FR), FR),
+                              D.add(tab, gamma, FR), FR)
+            values = fold(values, y, D.mont_mul(
+                D.sub(left, D.mont_mul(product, table_value, FR), FR),
+                cn["l_active"], FR))
+            values = fold(values, y, D.mont_mul(a_minus_s, cn["l0"], FR))
+            return fold(values, y, D.mont_mul(
+                D.mont_mul(a_minus_s, D.sub(inp, roll(inp, -1), FR), FR),
+                cn["l_active"], FR))
+        cost = 20 + sum(expr_nodes(e) for e in
+                        list(arg.input_expressions) + list(arg.table_expressions))
+        items.append((cost, emit_lookup))
 
-        # CQ static lookups
-        if cs.static_lookups:
-            st_cosets = state["st"]
-            for i in range(len(cs.static_lookups)):
-                b_coset = st_cosets[:, 2 * i]
-                f_coset = st_cosets[:, 2 * i + 1]
-                term = D.mont_mul(
-                    b_coset, D.add(D.mont_mul(f_coset, l_active, FR), beta, FR), FR)
-                values = fold(values, y, D.sub(term, one, FR))
+    for i in range(len(cs.static_lookups)):
+        def emit_cq(values, state, sc, cn, i=i):
+            one = D.ones((size,), FR)
+            b_coset = state["st"][:, 2 * i]
+            f_coset = state["st"][:, 2 * i + 1]
+            term = D.mont_mul(
+                b_coset, D.add(D.mont_mul(f_coset, cn["l_active"], FR),
+                               sc["beta"], FR), FR)
+            return fold(values, sc["y"], D.sub(term, one, FR))
+        items.append((4, emit_cq))
 
-        # quotient: divide by t(X) on the coset, back to coefficients
-        values = D.mont_mul(values, vanishing_inv, FR)
+    chunks: List[list] = []
+    cur: list = []
+    cur_nodes = 0
+    for cost, emit in items:
+        if cur and cur_nodes + cost > max_chunk_nodes:
+            chunks.append(cur)
+            cur, cur_nodes = [], 0
+        cur.append(emit)
+        cur_nodes += cost
+    if cur:
+        chunks.append(cur)
+
+    def make_chunk_fn(emits):
+        def chunk_fn(values, state, sc, cn):
+            for emit in emits:
+                values = emit(values, state, sc, cn)
+            return values
+        return jax.jit(chunk_fn)
+
+    chunk_jits = [make_chunk_fn(emits) for emits in chunks]
+
+    # ---- quotient: divide by t(X) on the coset, back to coefficients ------
+    def quotient_fn(values, cn, mxu_plans):
+        values = D.mont_mul(values, cn["vanishing_inv"], FR)
         if use_mxu:
             a = MX.mxu_ntt_batch(values[:, None, :], mxu_plans["e2c"],
                                  res_omegas["e2c"])[:, 0]
             a = D.mont_mul(a, ext_ifft_div, FR)
-            a = D.mont_mul(a, domain._zeta_pattern(size, False), FR)
+            a = D.mont_mul(a, cn["zeta_bwd"], FR)
             return a[:, : domain.n * domain.quotient_poly_degree]
         return domain.extended_to_coeff(values)
 
     convert_jit = jax.jit(convert_fn)
-    protocol_jit = jax.jit(protocol_fn)
+    quotient_jit = jax.jit(quotient_fn)
 
     def run(inputs):
-        state = convert_jit(inputs, plans)
+        state = convert_jit(inputs, plans, consts)
         sc = inputs["scalars"]
         values = D.zeros((size,), FR)
-        for g in gate_jits:
-            values = g(values, state, sc)
-        return protocol_jit(values, state, sc, plans)
+        for g in chunk_jits:
+            values = g(values, state, sc, consts)
+        return quotient_jit(values, consts, plans)
 
     return run
 

@@ -69,8 +69,15 @@ def fq_inv(x: int) -> int:
 
 def batch_inv(xs, p: int):
     """Montgomery batch inversion of a list of ints mod p (zeros -> zero),
-    mirrors halo2's BatchInvert semantics."""
+    mirrors halo2's BatchInvert semantics.  Fr batches of >= 256 route to
+    the native kernel (native/fieldops.c fr_batch_inv) — witness grids and
+    the CQ A/B denominators are tens of thousands of inversions per proof."""
     n = len(xs)
+    if p == FR_MOD and n >= 256:
+        from ..native_loader import native_fr_batch_inv
+        out = native_fr_batch_inv([x % p for x in xs])
+        if out is not None:
+            return out
     prods = [1] * n
     acc = 1
     for i, x in enumerate(xs):

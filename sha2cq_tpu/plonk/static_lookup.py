@@ -36,9 +36,18 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
         evaluate_expr_lagrange(e, n, fixed, advice, instance, challenges)
         for e in arg.input_expressions
     ]
-    f = [0] * n
-    for vals in evaluated:
-        f = [(a * theta + v) % P for a, v in zip(f, vals)]
+    from ..native_loader import fr_buf, fr_unbuf, get_lib, native_fr_fold_buf
+    if get_lib() is not None and n >= 1024:
+        # theta-compression as native Horner folds over (n, 4) u64 buffers
+        import numpy as np
+        acc = np.zeros((n, 4), dtype="<u8")
+        for vals in evaluated:
+            native_fr_fold_buf(acc, fr_buf([v % P for v in vals]), theta)
+        f = fr_unbuf(acc)
+    else:
+        f = [0] * n
+        for vals in evaluated:
+            f = [(a * theta + v) % P for a, v in zip(f, vals)]
 
     bf = pk.vk.cs.blinding_factors()
     usable_rows = n - (bf + 1)

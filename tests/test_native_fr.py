@@ -68,3 +68,31 @@ def test_fr_batch_inv_with_zeros(vals):
     sample = vals[:50] + [0] + vals[50:60] + [0, 1]
     got = native_fr_batch_inv(sample)
     assert got == [pow(v, P - 2, P) if v else 0 for v in sample]
+
+
+def test_msm_batch_affine_large_window():
+    """The batch-affine MSM (native/fieldops.c msm_window_affine) at an
+    n that selects a >8-bit window, with heavy bucket collisions
+    (tiled points), duplicate points, and P/-P cancellations."""
+    import random as _r
+
+    from sha2cq_tpu.curves import host as CH
+    from sha2cq_tpu.fields import host as H
+    from sha2cq_tpu.ops import msm as M
+
+    rng = _r.Random(11)
+    uniq = [CH.g1_mul(CH.G1_GEN, rng.randrange(1, H.FR_MOD)) for _ in range(32)]
+    n = 20000   # lg=15 -> window c=10 (affine tree path beyond c=8)
+    pts = [uniq[i % 32] for i in range(n)]
+    # inject exact cancellation pairs and duplicates
+    neg = [(p[0], (H.FQ_MOD - p[1]) % H.FQ_MOD) for p in uniq[:8]]
+    pts[:8] = uniq[:8]
+    pts[8:16] = neg
+    sc = [rng.randrange(H.FR_MOD) for _ in range(n)]
+    for i in range(8):
+        sc[8 + i] = sc[i]          # s*P + s*(-P) cancels inside buckets
+    whole = M.msm(sc, pts)
+    k = n // 2 + 3
+    a = M.msm(sc[:k], pts[:k])
+    b = M.msm(sc[k:], pts[k:])
+    assert whole == CH.g1_add(a, b)

@@ -31,11 +31,14 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
         "Tables should all be of the same size"
     table_config = pk.static_table_configs[tables[0].size]
 
+    from ..utils.profiling import profiler
+
     n = params.n
-    evaluated = [
-        evaluate_expr_lagrange(e, n, fixed, advice, instance, challenges)
-        for e in arg.input_expressions
-    ]
+    with profiler.phase("eval_inputs"):
+        evaluated = [
+            evaluate_expr_lagrange(e, n, fixed, advice, instance, challenges)
+            for e in arg.input_expressions
+        ]
     from ..native_loader import fr_buf, fr_unbuf, get_lib, native_fr_fold_buf
     if get_lib() is not None and n >= 1024:
         # theta-compression as native Horner folds over (n, 4) u64 buffers
@@ -53,6 +56,8 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
     usable_rows = n - (bf + 1)
     m_sparse: Dict[int, int] = {}
     table_index_value_mappings: List[Dict[int, int]] = [dict() for _ in tables]
+    prof_row = profiler.phase("m_rows")
+    prof_row.__enter__()
     if all(t.value_index_mapping is not None for t in tables):
         # fast path: unique-valued tables, per-table index resolution
         for row in range(usable_rows):
@@ -93,12 +98,14 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
                 table_index_value_mappings[t_i][index] = fi
             m_sparse[index] = m_sparse.get(index, 0) + 1
 
-    f_cm = params.commit_lagrange(f)
-    idxs = sorted(m_sparse)
-    m_cm = M.msm_indexed(
-        [m_sparse[i] for i in idxs], idxs, table_config.g1_lagrange,
-        packed=M.packed_basis(table_config, "_g1l_packed",
-                              table_config.g1_lagrange))
+    prof_row.__exit__(None, None, None)
+    with profiler.phase("f_m_commits"):
+        f_cm = params.commit_lagrange(f)
+        idxs = sorted(m_sparse)
+        m_cm = M.msm_indexed(
+            [m_sparse[i] for i in idxs], idxs, table_config.g1_lagrange,
+            packed=M.packed_basis(table_config, "_g1l_packed",
+                                  table_config.g1_lagrange))
     transcript.write_point(f_cm)
     transcript.write_point(m_cm)
     return {
@@ -120,56 +127,63 @@ def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
     # compression of the per-table quotients moved OUTSIDE the point sum:
     #   qa = sum_i A_i (sum_t theta^{T-1-t} qs_t[i])
     #      = sum_t theta^{T-1-t} (sum_i A_i qs_t[i])
+    from ..utils.profiling import profiler
+
     idxs = sorted(committed["m_sparse"])
-    tvs = []
-    for index in idxs:
-        tv = 0
-        for t_i in range(len(tables)):
-            tv = (tv * theta + committed["table_index_value_mappings"][t_i][index]) % P
-        tvs.append(tv)
-    denom_invs = batch_inv([(tv + beta) % P for tv in tvs], P)
-    a_vals = [committed["m_sparse"][i] * dv % P for i, dv in zip(idxs, denom_invs)]
-    a_cm = M.msm_indexed(
-        a_vals, idxs, table_config.g1_lagrange,
-        packed=M.packed_basis(table_config, "_g1l_packed",
-                              table_config.g1_lagrange))
-    a0_cm = M.msm_indexed(
-        a_vals, idxs, table_config.g_lagrange_opening_at_0,
-        packed=M.packed_basis(table_config, "_g1l0_packed",
-                              table_config.g_lagrange_opening_at_0))
-    qa_cm = None
-    for table in tables:
-        part = M.msm_indexed(
-            a_vals, idxs, table.qs,
-            packed=M.packed_basis(table, "_qs_packed", table.qs))
-        qa_cm = CH.g1_add(CH.g1_mul(qa_cm, theta) if qa_cm else None, part)
+    with profiler.phase("a_vals"):
+        tvs = []
+        for index in idxs:
+            tv = 0
+            for t_i in range(len(tables)):
+                tv = (tv * theta + committed["table_index_value_mappings"][t_i][index]) % P
+            tvs.append(tv)
+        denom_invs = batch_inv([(tv + beta) % P for tv in tvs], P)
+        a_vals = [committed["m_sparse"][i] * dv % P for i, dv in zip(idxs, denom_invs)]
+    with profiler.phase("a_commits"):
+        a_cm = M.msm_indexed(
+            a_vals, idxs, table_config.g1_lagrange,
+            packed=M.packed_basis(table_config, "_g1l_packed",
+                                  table_config.g1_lagrange))
+        a0_cm = M.msm_indexed(
+            a_vals, idxs, table_config.g_lagrange_opening_at_0,
+            packed=M.packed_basis(table_config, "_g1l0_packed",
+                                  table_config.g_lagrange_opening_at_0))
+        qa_cm = None
+        for table in tables:
+            part = M.msm_indexed(
+                a_vals, idxs, table.qs,
+                packed=M.packed_basis(table, "_qs_packed", table.qs))
+            qa_cm = CH.g1_add(CH.g1_mul(qa_cm, theta) if qa_cm else None, part)
 
     bf = pk.vk.cs.blinding_factors()
     n = params.n
     usable_rows = n - (bf + 1)
-    beta_inv = inv_mod(beta, P)
-    bs = batch_inv([(fi + beta) % P for fi in committed["f"][:usable_rows]], P)
-    bs += [beta_inv] * (bf + 1)
-    b_poly = domain.lagrange_to_coeff_host(bs)
+    with profiler.phase("b_side"):
+        beta_inv = inv_mod(beta, P)
+        bs = batch_inv([(fi + beta) % P for fi in committed["f"][:usable_rows]], P)
+        bs += [beta_inv] * (bf + 1)
+        b_poly = domain.lagrange_to_coeff_host(bs)
 
     b0_coeffs = b_poly[1:]
-    p_cm = M.msm(b0_coeffs, pk.b0_g1_bound[: len(b0_coeffs)],
-                 packed=M.packed_basis(pk, "_b0_bound_packed", pk.b0_g1_bound))
-    b0_poly = b0_coeffs + [0]
+    with profiler.phase("b0_p_commits"):
+        p_cm = M.msm(b0_coeffs, pk.b0_g1_bound[: len(b0_coeffs)],
+                     packed=M.packed_basis(pk, "_b0_bound_packed", pk.b0_g1_bound))
+        b0_poly = b0_coeffs + [0]
 
-    transcript.write_point(a_cm)
-    transcript.write_point(qa_cm)
-    transcript.write_point(a0_cm)
-    b0_cm = params.commit(b0_poly)
-    transcript.write_point(b0_cm)
-    transcript.write_point(p_cm)
+        transcript.write_point(a_cm)
+        transcript.write_point(qa_cm)
+        transcript.write_point(a0_cm)
+        b0_cm = params.commit(b0_poly)
+        transcript.write_point(b0_cm)
+        transcript.write_point(p_cm)
 
     # Sumcheck link: A(0) = (n * B(0) - (blinders+1) * beta^{-1}) / N
     b_at_zero = b_poly[0]
     n_table_inv = inv_mod(tables[0].size, P)
     a_at_zero = ((b_at_zero * n - (bf + 1) * beta_inv) % P) * n_table_inv % P
 
-    f_poly = domain.lagrange_to_coeff_host(committed["f"])
+    with profiler.phase("f_ifft"):
+        f_poly = domain.lagrange_to_coeff_host(committed["f"])
     return {"b": b_poly, "b0": b0_poly, "f": f_poly, "a_at_zero": a_at_zero}
 
 

@@ -19,7 +19,22 @@ import jax
 
 # Persistent compilation cache: the limb-arithmetic kernels produce large HLO
 # whose compiles are expensive; cache them across processes.
-_cache_dir = os.environ.get("SHA2CQ_JAX_CACHE", os.path.expanduser("~/.cache/sha2cq_jax"))
+#
+# Namespacing: under the axon plugin (PALLAS_AXON_POOL_IPS set at interpreter
+# start) remote_compile=1 routes compiles to the terminal machine, which
+# returns blobs targeted at ITS cpu features (+amx*, +prefer-no-scatter) for
+# any CPU-backend piece.  Those blobs are keyed identically to local CPU
+# compiles, so sharing one cache dir poisons every later pure-CPU run with
+# executables this host can't run properly (observed: 30+ min 32 GB "hangs"
+# when XLA falls back around them).  Axon-mode processes therefore get their
+# own namespace; pure-CPU processes use the root; pytest uses cputest (see
+# tests/conftest.py, which also falls back to a throwaway dir when the
+# plugin got registered before it could scrub the env).
+_cache_dir = os.environ.get("SHA2CQ_JAX_CACHE")
+if _cache_dir is None:
+    _cache_dir = os.path.expanduser("~/.cache/sha2cq_jax")
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        _cache_dir = os.path.join(_cache_dir, "axon")
 try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

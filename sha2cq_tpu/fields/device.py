@@ -25,6 +25,7 @@ Two moduli are instantiated: Fr (scalar field; NTT/witness math) and Fq
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -214,6 +215,69 @@ def select(mask, a, b):
     return jnp.where(mask[None, ...], a, b)
 
 
+def _use_compact_mul() -> bool:
+    """Pick the mont_mul formulation by backend (overridable with
+    SHA2CQ_COMPACT_MUL=0/1).
+
+    The fully-unrolled register form below is fastest on the TPU VPU
+    (28 -> 45 M mul/s) but expands to ~2-3k HLO ops per multiply; XLA:CPU's
+    compile time is superlinear in module op count, so graphs that batch
+    dozens of muls (curves/device.py point_add = 6 mul rounds; ops/msm.py
+    _window_sums) took 300+ s to 30+ min to compile on the CI host.  On the
+    CPU backend we therefore use a lax.scan CIOS form whose body compiles
+    once (~100 HLO): same exact math (identical REDC digit sequence, so
+    bit-identical results), ~10-50x faster compiles, mildly slower execution
+    (irrelevant at test sizes)."""
+    env = os.environ.get("SHA2CQ_COMPACT_MUL")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return False
+
+
+def _mont_mul_compact(a, b, ctx: FieldCtx):
+    """lax.scan CIOS Montgomery multiply (see _use_compact_mul).
+
+    Per step i: acc += a_i*b (lo/hi split) + m*p with m = (-acc0/p) mod 2^16,
+    push acc0's carry, shift the accumulator down one limb.  Column
+    magnitudes stay < 2^23 (16 iterations x ~4*2^16 per column), products are
+    exact 16x16->32.  Result = (a*b + m(X)*p)/2^256 < 2p for canonical b
+    (same contract and same final value as the register form)."""
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (NLIMB, *batch))
+    b = jnp.broadcast_to(b, (NLIMB, *batch))
+    ones = (1,) * len(batch)
+    p_arr = jnp.asarray(ctx.p_limbs, dtype=U32).reshape(NLIMB, *ones)
+    n0 = np.uint32(ctx.n0)
+    # derive the zero carry from the inputs (a & 0) so that under shard_map
+    # its varying-manual-axes type matches the scan body's output — a plain
+    # zeros() constant is unvarying and the scan rejects the carry mismatch
+    acc0 = jnp.zeros((NLIMB + 2, *batch), dtype=U32) + (a[:1] & jnp.uint32(0))
+
+    def step(acc, a_i):
+        prod = a_i[None] * b
+        acc = acc.at[:NLIMB].add(prod & MASK)
+        acc = acc.at[1:NLIMB + 1].add(prod >> LIMB_BITS)
+        m = ((acc[0] & MASK) * n0) & MASK
+        prodm = m[None] * p_arr
+        acc = acc.at[:NLIMB].add(prodm & MASK)
+        acc = acc.at[1:NLIMB + 1].add(prodm >> LIMB_BITS)
+        acc = acc.at[1].add(acc[0] >> LIMB_BITS)
+        acc = jnp.concatenate([acc[1:], jnp.zeros_like(acc[:1])], axis=0)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc0, a)
+    limbs, _ = _carry_canonicalize([acc[i] for i in range(NLIMB + 1)],
+                                   NLIMB + 1)
+    limbs = limbs[:NLIMB]  # result < 2p fits 16 limbs (p < 2^254)
+    plc = [jnp.full_like(limbs[0], x) for x in ctx.p_limbs]
+    d, _ = _sub_limbs(limbs, plc)
+    need_sub = _geq(limbs, plc)
+    return _stack([jnp.where(need_sub, x, y) for x, y in zip(d, limbs)])
+
+
 def mont_mul(a, b, ctx: FieldCtx = FR):
     """Montgomery product a*b*R^{-1} mod p.
 
@@ -225,8 +289,12 @@ def mont_mul(a, b, ctx: FieldCtx = FR):
     one (33, batch) array updated with dynamic-update-slices: the .at[]-based
     formulation measured 28 M mul/s on v5e because every slice update
     round-trips the whole accumulator; the register form lets XLA keep
-    columns in vector registers and fuse the adds.
+    columns in vector registers and fuse the adds.  On the CPU backend the
+    scan-based CIOS form is used instead (bit-identical; see
+    _use_compact_mul for why).
     """
+    if _use_compact_mul():
+        return _mont_mul_compact(a, b, ctx)
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a = jnp.broadcast_to(a, (NLIMB, *batch))
     b = jnp.broadcast_to(b, (NLIMB, *batch))

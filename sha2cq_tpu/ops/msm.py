@@ -121,7 +121,10 @@ def _window_sums(points, digits, n: int, c: int = 16):
         bucket0 = jnp.arange(1 << c) == 0
         B = PD.select_point(bucket0 | D.is_zero(bZ), ident, (bX, bY, bZ))
 
-        # suffix sums R_j = sum_{b >= j} B_b (reverse Hillis-Steele scan)
+        # suffix sums R_j = sum_{b >= j} B_b (reverse Hillis-Steele scan);
+        # ONE loop body shared by both scan passes — each fori_loop body is a
+        # separate XLA compile of a point_add (~25k HLO with the register-form
+        # mont_mul), so duplicating the identical body doubled compile cost
         m = 1 << c
         bidx = jnp.arange(m, dtype=jnp.int32)
 
@@ -135,15 +138,7 @@ def _window_sums(points, digits, n: int, c: int = 16):
         R = jax.lax.fori_loop(0, c, sstep, B)
         # window sum = sum_{j>=1} R_j ; zero out R_0 then total-sum by shifts
         R = PD.select_point(bidx == 0, PD.identity_like((m,)), R)
-
-        def tstep(t, acc):
-            offset = jnp.int32(1) << t
-            sh = tuple(jnp.roll(a, -offset, axis=1) for a in acc)
-            combined = PD.point_add(sh, acc)
-            use = bidx < (m - offset)
-            return PD.select_point(use, combined, acc)
-
-        T = jax.lax.fori_loop(0, c, tstep, R)
+        T = jax.lax.fori_loop(0, c, sstep, R)
         return jnp.stack([T[0][:, 0], T[1][:, 0], T[2][:, 0]])  # (3, 16)
 
     return jax.lax.map(one_window, digits)

@@ -320,7 +320,30 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
             return values
         return jax.jit(chunk_fn)
 
-    chunk_jits = [make_chunk_fn(emits) for emits in chunks]
+    # Scanned bytecode VM (plonk/h_vm.py) replaces the unrolled chunk graphs:
+    # per-process trace/lower/compile of the ~20 10^5-node chunk modules
+    # measured 601 s of a 778 s warm SHA-256 prove; the VM compiles one tiny
+    # scan body instead.  SHA2CQ_H_VM=0 falls back to the chunk pipeline.
+    # Mesh-sharded inputs always take the chunk pipeline: the VM's
+    # per-instruction dynamic column index over the column-sharded axis
+    # would turn every load into a cross-device gather under GSPMD.
+    import os as _os
+    use_vm = _os.environ.get("SHA2CQ_H_VM", "1") == "1"
+    vm_prog = None
+    if use_vm:
+        from . import h_vm as _h_vm
+        vm_prog = _h_vm.assemble_h_program(pk)
+    chunk_jits: List = []  # built lazily (only the fallback path pays tracing)
+
+    def ensure_chunk_jits():
+        if not chunk_jits:
+            chunk_jits.extend(make_chunk_fn(emits) for emits in chunks)
+        return chunk_jits
+
+    def is_multidevice(a) -> bool:
+        sh = getattr(a, "sharding", None)
+        dev = getattr(sh, "device_set", None)
+        return dev is not None and len(dev) > 1
 
     # ---- quotient: divide by t(X) on the coset, back to coefficients ------
     def quotient_fn(values, cn, mxu_plans):
@@ -337,12 +360,24 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
     quotient_jit = jax.jit(quotient_fn)
 
     def run(inputs):
-        state = convert_jit(inputs, plans, consts)
+        from ..utils.profiling import profiler
+        with profiler.phase("h_convert"):
+            state = convert_jit(inputs, plans, consts)
+            jax.block_until_ready(state["advice"])
         sc = inputs["scalars"]
-        values = D.zeros((size,), FR)
-        for g in chunk_jits:
-            values = g(values, state, sc, consts)
-        return quotient_jit(values, consts, plans)
+        with profiler.phase("h_chunks"):
+            if vm_prog is not None and not is_multidevice(inputs["advice"]):
+                from . import h_vm as _h_vm
+                values = _h_vm.run_program(vm_prog, state, consts, sc, size)
+            else:
+                values = D.zeros((size,), FR)
+                for g in ensure_chunk_jits():
+                    values = g(values, state, sc, consts)
+            jax.block_until_ready(values)
+        with profiler.phase("h_quotient"):
+            out = quotient_jit(values, consts, plans)
+            jax.block_until_ready(out)
+        return out
 
     return run
 

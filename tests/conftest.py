@@ -10,18 +10,31 @@ PALLAS_AXON_POOL_IPS is set and then pins jax_platforms to "axon,cpu".
 """
 import os
 
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+_axon_registered = bool(os.environ.pop("PALLAS_AXON_POOL_IPS", None))
 # Remote compile must die with the pool: if the axon plugin registered at
 # interpreter start (POOL_IPS was set then), leaked remote compiles return
 # executables built on/for the remote machine — they poison the persistent
 # cache for every later local-CPU run (AOT "machine feature" mismatches,
 # minutes-long zero-CPU waits per piece).  Tests therefore also use their
-# own cache namespace, keyed off the main one.
+# own cache namespace, keyed off the main one — and when the plugin DID
+# register before we could scrub the env (pytest launched without the
+# `PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu` prefix), a throwaway dir, so a
+# single bare run can never poison the shared cputest namespace (observed:
+# 194 poisoned entries -> 30+ min 32 GB compile stalls in later runs).
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
-os.environ.setdefault(
-    "SHA2CQ_JAX_CACHE",
-    os.path.join(os.path.expanduser(
-        os.environ.get("SHA2CQ_CACHE", "~/.cache/sha2cq_jax")), "cputest"))
+if _axon_registered:
+    import tempfile
+    os.environ["SHA2CQ_JAX_CACHE"] = tempfile.mkdtemp(prefix="sha2cq_jax_")
+    import sys
+    print("conftest: axon plugin registered before env scrub; using a "
+          "throwaway compile cache (launch pytest with "
+          "`PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu` to reuse the shared "
+          "cputest cache)", file=sys.stderr)
+else:
+    os.environ.setdefault(
+        "SHA2CQ_JAX_CACHE",
+        os.path.join(os.path.expanduser(
+            os.environ.get("SHA2CQ_CACHE", "~/.cache/sha2cq_jax")), "cputest"))
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:

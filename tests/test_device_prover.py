@@ -28,6 +28,49 @@ def test_h_device_proof_matches_host():
     assert batcher.check()
 
 
+def test_h_vm_matches_chunk_pipeline():
+    """The scanned bytecode VM (plonk/h_vm.py, default) and the unrolled
+    chunk-jit fallback (SHA2CQ_H_VM=0) must produce byte-identical proofs:
+    the VM is a recompilation-free reformulation of the same fold, not a
+    different algorithm."""
+    import os
+
+    K = 3
+    rng, srs, t1, t2, params, configs, b0 = E._setup(K)
+    circuit = E.MyCircuit(t1, t2)
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, configs, b0, vk, circuit)
+
+    def clear_h_cache():
+        # get_h_fn memoizes the built h_fn on pk attributes
+        for key in ("_h_fn", "_h_fn_mxu", "_h_fn_auto"):
+            if hasattr(pk, key):
+                delattr(pk, key)
+
+    old = os.environ.get("SHA2CQ_H_VM")
+    try:
+        os.environ["SHA2CQ_H_VM"] = "1"
+        clear_h_cache()
+        proof_vm = create_proof(params, pk, [circuit], [[]],
+                                rng=random.Random(7), h_device=True)
+        os.environ["SHA2CQ_H_VM"] = "0"
+        clear_h_cache()
+        proof_chunks = create_proof(params, pk, [circuit], [[]],
+                                    rng=random.Random(7), h_device=True)
+    finally:
+        if old is None:
+            os.environ.pop("SHA2CQ_H_VM", None)
+        else:
+            os.environ["SHA2CQ_H_VM"] = old
+        clear_h_cache()
+
+    assert proof_vm == proof_chunks
+    batcher = verify_proof(params, vk,
+                           AccumulatorStrategy(params, rng=random.Random(7)),
+                           [[]], Blake2bRead(proof_vm))
+    assert batcher.check()
+
+
 def test_h_device_mxu_proof_matches_host():
     """MXU matmul-NTT basis conversions (ops/mxu_ntt.py) threaded through the
     device h-path must stay byte-identical to the host path.  Forced on at

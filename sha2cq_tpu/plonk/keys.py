@@ -1,14 +1,28 @@
 """VerifyingKey / ProvingKey containers (reference plonk.rs:59-75, 291-308).
 
 The VK transcript representation hashes a canonical text description of the
-pinned VK (domain, fixed commitments, permutation commitments, constraint
-counts) with Blake2b personalized "Halo2-Verify-Key", exactly like
-plonk.rs:221-232 — except the pinned string is our own canonical format
-rather than Rust's Debug output (self-consistent across our prover/verifier).
+pinned VK with Blake2b personalized "Halo2-Verify-Key", exactly like
+plonk.rs:221-232.  Two pinned formats are supported:
+
+- DEFAULT (rust-compatible): a byte-exact replica of Rust's
+  `format!("{:?}", vk.pinned())` — the derived/custom Debug output of
+  PinnedVerificationKey (plonk.rs:278-287), PinnedEvaluationDomain
+  (poly/domain.rs:497-504), PinnedConstraintSystem + PinnedGates + Expression
+  (plonk/circuit.rs:1091-1145,1405-1449), Column/Any/Advice/Phase/Rotation,
+  permutation::{Argument,VerifyingKey} (plonk/permutation.rs:20-24,81-84)
+  and the curve/field Debug formats (curves/src/derive/{field.rs:85-94,
+  curve.rs:552-560}).  This makes Fiat-Shamir challenges — and hence entire
+  proofs — interoperable with the Rust reference verifier.  Like the
+  reference, it does NOT pin static lookups or static table commitments
+  (the verifier's pairing identities bind them from its own VK instead).
+- SHA2CQ_PINNED_VK=strict: our richer self-consistent format that
+  additionally pins static lookup expressions and static table G2
+  commitments (stronger circuit binding; not Rust-interoperable).
 """
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List
 
@@ -18,6 +32,39 @@ from .circuit_ir import ConstraintSystem, StaticTableId
 from .static_tables import StaticCommittedTable, StaticTableConfig, StaticTableValues
 
 P = FR_MOD
+
+# MODULUS strings exactly as the reference's field impls publish them
+# (curves/src/bn256/{fq.rs:70,fr.rs:36}) — pinned as &'static str Debug
+# (i.e. quoted) in PinnedVerificationKey.
+FQ_MODULUS_STR = "0x30644e72e131a029b85045b68181585d97816a916871ca8d3c208c16d87cfd47"
+FR_MODULUS_STR = "0x30644e72e131a029b85045b68181585d2833e84879b9709143e1f593f0000001"
+
+
+def _fr_dbg(v: int) -> str:
+    """Rust Debug of a field element: 0x + 64 lowercase hex digits of the
+    canonical (non-Montgomery) big-endian value (derive/field.rs:85-94)."""
+    return f"0x{v % P:064x}"
+
+
+def _g1_dbg(pt) -> str:
+    """Rust Debug of G1Affine: `(x, y)` or `Infinity` (derive/curve.rs:552)."""
+    if pt is None:
+        return "Infinity"
+    return f"(0x{pt[0] % FQ_MOD:064x}, 0x{pt[1] % FQ_MOD:064x})"
+
+
+def _column_dbg(col, advice_phase=None) -> str:
+    """Rust Debug of Column<Any>/Column<Advice|Fixed|Instance>: the derived
+    struct format with Any/Advice's custom inner Debug that omits the phase
+    when it is FirstPhase (circuit.rs:157-165,199-213)."""
+    if col.kind == "advice":
+        phase = col.phase if advice_phase is None else advice_phase
+        inner = "Advice" if phase == 0 else f"Advice {{ phase: Phase({phase}) }}"
+    elif col.kind == "fixed":
+        inner = "Fixed"
+    else:
+        inner = "Instance"
+    return f"Column {{ index: {col.index}, column_type: {inner} }}"
 
 
 class VerifyingKey:
@@ -105,9 +152,118 @@ class VerifyingKey:
         ]
         return ";".join(parts)
 
+    # ---- rust-compatible pinned format ------------------------------------
+
+    def _expr_dbg(self, e) -> str:
+        """Byte-exact replica of the reference's custom Expression Debug
+        (circuit.rs:1091-1145): query enum variants print their query struct
+        directly, and an advice query's phase is shown only when it is not
+        FirstPhase."""
+        k = e.kind
+        if k == "const":
+            return f"Constant({_fr_dbg(e.value)})"
+        if k == "selector":
+            # vk hashing always happens post selector->fixed conversion;
+            # a surviving virtual selector would not be Rust-comparable
+            raise ValueError("selector expression in pinned VK")
+        if k == "fixed":
+            return (f"Fixed {{ query_index: {e.query_index}, "
+                    f"column_index: {e.column.index}, "
+                    f"rotation: Rotation({e.rotation}) }}")
+        if k == "advice":
+            phase = self.cs.advice_column_phase[e.column.index]
+            ph = f", phase: Phase({phase})" if phase != 0 else ""
+            return (f"Advice {{ query_index: {e.query_index}, "
+                    f"column_index: {e.column.index}, "
+                    f"rotation: Rotation({e.rotation}){ph} }}")
+        if k == "instance":
+            return (f"Instance {{ query_index: {e.query_index}, "
+                    f"column_index: {e.column.index}, "
+                    f"rotation: Rotation({e.rotation}) }}")
+        if k == "challenge":
+            # ours stores "usable in phase p+1"; Rust pins the sealed phase
+            # it was declared after (circuit.rs:1936-1948)
+            phase = self.cs.challenge_phase[e.value] - 1
+            return (f"Challenge(Challenge {{ index: {e.value}, "
+                    f"phase: Phase({phase}) }})")
+        if k == "neg":
+            return f"Negated({self._expr_dbg(e.a)})"
+        if k == "sum":
+            return f"Sum({self._expr_dbg(e.a)}, {self._expr_dbg(e.b)})"
+        if k == "prod":
+            return f"Product({self._expr_dbg(e.a)}, {self._expr_dbg(e.b)})"
+        if k == "scaled":
+            return f"Scaled({self._expr_dbg(e.a)}, {_fr_dbg(e.value)})"
+        raise ValueError(k)
+
+    def _pinned_str_rust(self) -> str:
+        """`format!("{:?}", vk.pinned())` byte-for-byte (plonk.rs:226): the
+        derived Debug of PinnedVerificationKey over the custom/derived Debugs
+        of its members.  Field order, separators, phase-elision and None/Some
+        all follow the Rust formatter, so our Fiat-Shamir transcript seeds
+        match the reference's for the same circuit."""
+        cs = self.cs
+        dom = self.domain
+
+        def queries(qs):
+            return "[" + ", ".join(
+                f"({_column_dbg(c)}, Rotation({r}))" for c, r in qs) + "]"
+
+        gates = "[" + ", ".join(
+            self._expr_dbg(p) for g in cs.gates for p in g.polys) + "]"
+        cs_fields = [
+            f"num_fixed_columns: {cs.num_fixed_columns}",
+            f"num_advice_columns: {cs.num_advice_columns}",
+            f"num_instance_columns: {cs.num_instance_columns}",
+            f"num_selectors: {cs.num_selectors}",
+        ]
+        if cs.num_challenges > 0:
+            cs_fields += [
+                f"num_challenges: {cs.num_challenges}",
+                "advice_column_phase: [" + ", ".join(
+                    f"Phase({p})" for p in cs.advice_column_phase) + "]",
+                "challenge_phase: [" + ", ".join(
+                    f"Phase({p - 1})" for p in cs.challenge_phase) + "]",
+            ]
+        lookups = "[" + ", ".join(
+            "Argument { input_expressions: [" +
+            ", ".join(self._expr_dbg(e) for e in lk.input_expressions) +
+            "], table_expressions: [" +
+            ", ".join(self._expr_dbg(e) for e in lk.table_expressions) + "] }"
+            for lk in cs.lookups) + "]"
+        min_deg = ("None" if cs.minimum_degree is None
+                   else f"Some({cs.minimum_degree})")
+        cs_fields += [
+            f"gates: {gates}",
+            f"advice_queries: {queries(cs.advice_queries)}",
+            f"instance_queries: {queries(cs.instance_queries)}",
+            f"fixed_queries: {queries(cs.fixed_queries)}",
+            "permutation: Argument { columns: [" + ", ".join(
+                _column_dbg(c) for c in cs.permutation.columns) + "] }",
+            f"lookups: {lookups}",
+            "constants: [" + ", ".join(
+                _column_dbg(c) for c in cs.constants) + "]",
+            f"minimum_degree: {min_deg}",
+        ]
+        return (
+            "PinnedVerificationKey { "
+            f'base_modulus: "{FQ_MODULUS_STR}", '
+            f'scalar_modulus: "{FR_MODULUS_STR}", '
+            f"domain: PinnedEvaluationDomain {{ k: {dom.k}, "
+            f"extended_k: {dom.extended_k}, omega: {_fr_dbg(dom.omega)} }}, "
+            "cs: PinnedConstraintSystem { " + ", ".join(cs_fields) + " }, "
+            "fixed_commitments: [" + ", ".join(
+                _g1_dbg(c) for c in self.fixed_commitments) + "], "
+            "permutation: VerifyingKey { commitments: [" + ", ".join(
+                _g1_dbg(c) for c in self.permutation_commitments) + "] } }"
+        )
+
     def _compute_transcript_repr(self) -> int:
         h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
-        s = self._pinned_str().encode()
+        if os.environ.get("SHA2CQ_PINNED_VK") == "strict":
+            s = self._pinned_str().encode()
+        else:
+            s = self._pinned_str_rust().encode()
         h.update(len(s).to_bytes(8, "little"))
         h.update(s)
         return serde.fr_from_bytes_wide(h.digest())

@@ -324,9 +324,11 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
     # per-process trace/lower/compile of the ~20 10^5-node chunk modules
     # measured 601 s of a 778 s warm SHA-256 prove; the VM compiles one tiny
     # scan body instead.  SHA2CQ_H_VM=0 falls back to the chunk pipeline.
-    # Mesh-sharded inputs always take the chunk pipeline: the VM's
-    # per-instruction dynamic column index over the column-sharded axis
-    # would turn every load into a cross-device gather under GSPMD.
+    # Mesh-sharded inputs run the shard_map VM (h_vm.run_program_sharded):
+    # rows sharded over the mesh, rotations via one-time halo exchanges, no
+    # GSPMD partitioner involvement (the fused h graphs measured 12+ min to
+    # partition on XLA:CPU, and the single-device VM's dynamic column index
+    # would become a per-instruction cross-device gather under GSPMD).
     import os as _os
     use_vm = _os.environ.get("SHA2CQ_H_VM", "1") == "1"
     vm_prog = None
@@ -366,7 +368,18 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
             jax.block_until_ready(state["advice"])
         sc = inputs["scalars"]
         with profiler.phase("h_chunks"):
-            if vm_prog is not None and not is_multidevice(inputs["advice"]):
+            if vm_prog is not None and is_multidevice(inputs["advice"]):
+                from . import h_vm as _h_vm
+                mesh_ = inputs["advice"].sharding.mesh
+                values = _h_vm.run_program_sharded(
+                    vm_prog, state, consts, sc, size, mesh_)
+                # replicate before the quotient piece: its row-axis iNTT
+                # under GSPMD partitioning is exactly the 12-min slow path
+                # the VM exists to avoid, and (16, size) is a few MB
+                values = jax.device_put(
+                    values, jax.sharding.NamedSharding(
+                        mesh_, jax.sharding.PartitionSpec()))
+            elif vm_prog is not None:
                 from . import h_vm as _h_vm
                 values = _h_vm.run_program(vm_prog, state, consts, sc, size)
             else:

@@ -351,11 +351,150 @@ def _vm_run(instrs, regs, groups, scal):
     return regs
 
 
-def run_program(prog: Program, state: Dict, consts: Dict, scalars: Dict,
-                size: int) -> jnp.ndarray:
-    """Evaluate the program against converted coset state (from
-    device_eval.convert_fn) + per-pk consts; returns the (16, size) h values
-    (pre-quotient)."""
+def _program_max_shift(prog: Program) -> int:
+    """Largest |roll shift| any load performs (rows of halo a shard needs)."""
+    s = 0
+    for op, a, b, dst in prog.instrs:
+        if op in _LOAD_OPS:
+            s = max(s, abs(int(b)))
+    return s
+
+
+def build_sharded_vm(prog: Program, mesh, size: int):
+    """shard_map formulation of the VM over the extended-domain ROW axis.
+
+    Why: GSPMD partitioning of the fused h graphs measured 12+ minutes of
+    XLA-CPU compile (ROADMAP round-2 item 11), and the single-device VM's
+    per-instruction dynamic column index would become a cross-device gather
+    under a column-sharded GSPMD jit.  Row sharding makes every VM
+    instruction embarrassingly parallel EXCEPT the rotation rolls — and all
+    rotations are bounded by S = max|shift| (a few multiples of
+    rot_scale = 2^(extended_k - k), far below the shard size).  So each
+    column group is halo-extended ONCE up front (one ppermute per direction,
+    wrapping, matching jnp.roll's mod-N semantics) and every in-scan load
+    becomes a LOCAL dynamic_slice of the extended column at offset S - shift.
+    The scan body then contains no collectives at all: compile time is the
+    single-device VM's (~seconds), independent of mesh size.
+
+    Returns fn(regs0, groups, scal) -> regs with groups row-sharded
+    (16, C, size) arrays; caller places inputs with NamedSharding
+    (None, None, "x") and reads back the (16, NREG, size) result.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    nd = mesh.devices.size
+    m = size // nd
+    S = _program_max_shift(prog)
+    fwd = [(i, (i + 1) % nd) for i in range(nd)]
+    bwd = [(i, (i - 1) % nd) for i in range(nd)]
+    instrs = jnp.asarray(prog.instrs)
+
+    def halo(col):
+        # col (16, C, m) -> (16, C, m + 2S): [S rows ending at my global
+        # start | col | S rows from my global end], wrapping mod N like
+        # jnp.roll.  Production shards have S << m (one S-row edge exchange
+        # each way); tiny test domains may need whole neighbor blocks
+        # (p = ceil(S/m) ppermute hops), trimmed back to exactly S.
+        if S == 0:
+            return col
+        if S < m:
+            prev = jax.lax.ppermute(col[..., -S:], "x", fwd)
+            nxt = jax.lax.ppermute(col[..., :S], "x", bwd)
+            return jnp.concatenate([prev, col, nxt], axis=-1)
+        p = -(-S // m)
+        parts_prev, parts_next = [], []
+        cur_prev = cur_next = col
+        for _ in range(p):
+            cur_prev = jax.lax.ppermute(cur_prev, "x", fwd)
+            parts_prev.insert(0, cur_prev)
+            cur_next = jax.lax.ppermute(cur_next, "x", bwd)
+            parts_next.append(cur_next)
+        ext = jnp.concatenate(parts_prev + [col] + parts_next, axis=-1)
+        return ext[..., p * m - S: p * m + m + S]
+
+    def local_run(regs, groups, scal):
+        # the scalar table is replicated (unvarying over mesh axis "x");
+        # mix in a zero from the varying regs so every switch branch and the
+        # scan carry share one varying-manual-axes type
+        scal = scal + (regs[:, 0, :1] & jnp.uint32(0))
+        ext = {k: halo(v) for k, v in groups.items()}
+
+        def step(regs, ins):
+            op, a, b, dst = ins[0], ins[1], ins[2], ins[3]
+
+            def rd(i):
+                return jax.lax.dynamic_index_in_dim(regs, i, axis=1,
+                                                    keepdims=False)
+
+            def sc(i):
+                return jax.lax.dynamic_index_in_dim(scal, i, axis=1,
+                                                    keepdims=True)
+
+            def ld(name):
+                def f():
+                    col = jax.lax.dynamic_index_in_dim(
+                        ext[name], a, axis=1, keepdims=False)
+                    if S == 0:
+                        return col
+                    return jax.lax.dynamic_slice_in_dim(col, S - b, m, axis=1)
+                return f
+
+            bshape = regs.shape[:1] + regs.shape[2:]
+            branches = [
+                ld("advice"), ld("instance"), ld("fixed"), ld("sigma"),
+                ld("z"), ld("lk"), ld("st"), ld("aux"),
+                lambda: jnp.broadcast_to(sc(b), bshape),
+                lambda: D.add(rd(a), rd(b), FR),
+                lambda: D.sub(rd(a), rd(b), FR),
+                lambda: D.mont_mul(rd(a), rd(b), FR),
+                lambda: D.add(rd(a), jnp.broadcast_to(sc(b), bshape), FR),
+                lambda: D.sub(rd(a), jnp.broadcast_to(sc(b), bshape), FR),
+                lambda: D.mont_mul(rd(a), sc(b), FR),
+                lambda: D.sub(jnp.broadcast_to(sc(b), bshape), rd(a), FR),
+            ]
+            out = jax.lax.switch(op, branches)
+            regs = jax.lax.dynamic_update_index_in_dim(regs, out, dst, axis=1)
+            return regs, None
+
+        regs, _ = jax.lax.scan(step, regs, instrs)
+        return regs
+
+    row = PSpec(None, None, "x")
+    mapped = jax.shard_map(
+        local_run, mesh=mesh,
+        in_specs=(row, {k: row for k in
+                        ("advice", "instance", "fixed", "sigma",
+                         "z", "lk", "st", "aux")}, PSpec()),
+        out_specs=row)
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def run_program_sharded(prog: Program, state: Dict, consts: Dict,
+                        scalars: Dict, size: int, mesh) -> jnp.ndarray:
+    """Mesh-sharded VM execution; same inputs/result as run_program but with
+    the row axis sharded over mesh axis "x" (resharding column-sharded
+    convert_fn outputs via device_put's all_to_all)."""
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    cache = build_sharded_vm.__dict__.setdefault("_cache", {})
+    key = (id(prog), id(mesh), size)
+    vm = cache.get(key)
+    if vm is None:
+        vm = build_sharded_vm(prog, mesh, size)
+        cache[key] = vm
+
+    row = NamedSharding(mesh, PSpec(None, None, "x"))
+    groups, rt_scal = _build_groups(prog, state, consts, scalars, size)
+    groups = {k: jax.device_put(v, row) for k, v in groups.items()}
+    regs0 = jax.device_put(
+        jnp.zeros((NLIMB, prog.n_reg, size), dtype=U32), row)
+    regs = vm(regs0, groups, rt_scal)
+    return regs[:, prog.out_reg]
+
+
+def _build_groups(prog: Program, state: Dict, consts: Dict, scalars: Dict,
+                  size: int):
+    """Shared packing of the VM's column groups + scalar table."""
     def pad1(a):
         if a.shape[1]:
             return a
@@ -381,6 +520,15 @@ def run_program(prog: Program, state: Dict, consts: Dict, scalars: Dict,
     cst = (jnp.asarray(D.np_pack(prog.const_scalars, FR))
            if prog.const_scalars else jnp.zeros((NLIMB, 0), dtype=U32))
     scal = jnp.concatenate([rt, ch, cst], axis=1)
+    return groups, scal
+
+
+def run_program(prog: Program, state: Dict, consts: Dict, scalars: Dict,
+                size: int) -> jnp.ndarray:
+    """Evaluate the program against converted coset state (from
+    device_eval.convert_fn) + per-pk consts; returns the (16, size) h values
+    (pre-quotient)."""
+    groups, scal = _build_groups(prog, state, consts, scalars, size)
     regs0 = jnp.zeros((NLIMB, prog.n_reg, size), dtype=U32)
     regs = _vm_run(jnp.asarray(prog.instrs), regs0, groups, scal)
     return regs[:, prog.out_reg]

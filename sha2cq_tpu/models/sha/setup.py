@@ -56,7 +56,10 @@ def config_from_s(s: int, size: int) -> StaticTableConfig:
     else:
         scaled_aff = CH.jac_batch_to_affine(scaled)
     opening = [CH.g1_add(pt, neg_last) for pt in scaled_aff]
-    return StaticTableConfig(size, g1_lagrange, opening)
+    zv_g1 = CH.g1_mul(CH.G1_GEN, (pow(s, size, P) - 1) % P)
+    xn1_g1 = CH.g1_mul(CH.G1_GEN, pow(s, size - 1, P))
+    return StaticTableConfig(size, g1_lagrange, opening,
+                             zv_g1=zv_g1, xn1_g1=xn1_g1)
 
 
 def build_sha_setup(l: Limbs, circuit_n: int, s: int, cache: bool = True):

@@ -299,6 +299,11 @@ class ConstraintSystem:
         self.general_column_annotations: Dict = {}
         self.constants: List[Column] = []
         self.minimum_degree: Optional[int] = None
+        # zk static lookups (plonk/static_lookup.py): blinded CQ commitments
+        # and a gate term gated by l_active so B's blinding rows are free.
+        # Off by default = exact reference semantics (its CQ is non-zk,
+        # static_lookup/prover.rs:122-124).  Must be set before keygen.
+        self.zk_static_lookups: bool = False
 
     # -- columns
     def advice_column(self, phase: int = FIRST_PHASE) -> Column:

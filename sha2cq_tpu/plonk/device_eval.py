@@ -295,6 +295,12 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
             one = D.ones((size,), FR)
             b_coset = state["st"][:, 2 * i]
             f_coset = state["st"][:, 2 * i + 1]
+            if getattr(cs, "zk_static_lookups", False):
+                # zk gate shape: l_active * (B(f+beta) - 1)
+                term = D.mont_mul(
+                    b_coset, D.add(f_coset, sc["beta"], FR), FR)
+                term = D.mont_mul(D.sub(term, one, FR), cn["l_active"], FR)
+                return fold(values, sc["y"], term)
             term = D.mont_mul(
                 b_coset, D.add(D.mont_mul(f_coset, cn["l_active"], FR),
                                sc["beta"], FR), FR)

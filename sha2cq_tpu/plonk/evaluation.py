@@ -221,13 +221,22 @@ def evaluate_h(pk, advice_cosets, instance_cosets, challenges, y, beta, gamma,
                 v = (v * y + a_minus_s * ((inp_coset[i] - inp_coset[r_prev]) % P) * l_active[i]) % P
                 values[i] = v
 
-        # -- static lookups (evaluation.rs:533-548)
+        # -- static lookups (evaluation.rs:533-548); zk mode gates the term
+        # by l_active so B's random blinding rows are unconstrained
+        # (static_lookup.py module docstring)
         for sl in (static_c or []):
             b_coset = domain.coeff_to_extended_host(sl["b"])
             f_coset = domain.coeff_to_extended_host(sl["f"])
-            values = [
-                (v * y + (b_coset[i] * ((f_coset[i] * l_active[i] + beta) % P) - 1)) % P
-                for i, v in enumerate(values)
-            ]
+            if getattr(cs, "zk_static_lookups", False):
+                values = [
+                    (v * y + l_active[i] *
+                     (b_coset[i] * ((f_coset[i] + beta) % P) - 1)) % P
+                    for i, v in enumerate(values)
+                ]
+            else:
+                values = [
+                    (v * y + (b_coset[i] * ((f_coset[i] * l_active[i] + beta) % P) - 1)) % P
+                    for i, v in enumerate(values)
+                ]
 
     return values

@@ -294,12 +294,17 @@ def assemble_h_program(pk) -> Program:
             A.mul(a_minus_s, A.sub(inp, A.load(LOAD_LK, 3 * n_lk + 1, shift(-1)))),
             l_active()))
 
-    # CQ static lookups (device_eval emit_cq order)
+    # CQ static lookups (device_eval emit_cq order); zk mode gates the term
+    # by l_active (static_lookup.py module docstring)
     for i in range(len(cs.static_lookups)):
         b_coset = A.load(LOAD_ST, 2 * i, 0)
         f_coset = A.load(LOAD_ST, 2 * i + 1, 0)
-        term = A.mul(b_coset, A.add(A.mul(f_coset, l_active()), BETA))
-        values = fold(values, A.sub(term, ONE))
+        if getattr(cs, "zk_static_lookups", False):
+            term = A.mul(b_coset, A.add(f_coset, BETA))
+            values = fold(values, A.mul(A.sub(term, ONE), l_active()))
+        else:
+            term = A.mul(b_coset, A.add(A.mul(f_coset, l_active()), BETA))
+            values = fold(values, A.sub(term, ONE))
 
     return A.finish(values)
 

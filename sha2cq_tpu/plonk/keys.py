@@ -149,6 +149,7 @@ class VerifyingKey:
                 for sl in cs.static_lookups),
             "static_tables=" + "|".join(static_tables),
             f"constants=" + ",".join(f"({c.kind},{c.index})" for c in cs.constants),
+            f"zk_static_lookups={int(getattr(cs, 'zk_static_lookups', False))}",
         ]
         return ";".join(parts)
 

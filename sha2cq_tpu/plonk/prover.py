@@ -214,7 +214,7 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
         static_committed.append([
             static_lookup_commit(
                 arg, pk, params, theta, challenges_list, adv["values"],
-                pk.fixed_values, inst_single["values"], transcript)
+                pk.fixed_values, inst_single["values"], transcript, rng=rng)
             for arg in cs.static_lookups
         ])
 

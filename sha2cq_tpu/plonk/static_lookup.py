@@ -6,6 +6,30 @@ three pairing identities registered into the global PairingBatcher:
   (1) e(a,[T]_2) = e(qa,[Z_V]_2) * e(m - beta*a, [1]_2)
   (2) e(b0,[x^bound]_2) = e(p,[1]_2)
   (3) e(a - [A(0)]_1, [1]_2) = e(a0, [x]_2)
+
+zk mode (cs.zk_static_lookups, off by default — the reference's CQ is
+explicitly non-zk, prover.rs:122-124).  The committed functions are blinded
+with multiples of the vanishing polynomials, so every identity above still
+holds as a polynomial identity while the commitments/evals become
+simulatable:
+
+  table side (blinders r, c; V = table domain, Z_V = X^N - 1):
+    A'  = A + r*Z_V          -> a'  = a  + r*[Z_V]_1
+    M'  = M + c*Z_V          -> m'  = m  + c*[Z_V]_1
+    Q'  = Q + r*(T~+beta)-c  -> qa' = qa + r*[T~]_1 + (r*beta-c)*[1]_1
+    (A'-A'(0))/X             -> a0' = a0 + r*[x^{N-1}]_1
+    A'(0) = A(0) - r         (Z_V(0) = -1)
+  circuit side (H = proof domain, n rows, bf = blinding_factors()):
+    B's (bf+1) inactive rows are RANDOM subject to sum = (bf+1)/beta - r*N,
+    which keeps deg(B) <= n-1 (the b0 degree bound is untouched) and makes
+    the existing sumcheck link n*B(0) = N*A(0)+(bf+1)/beta emit exactly the
+    blinded A'(0).  The h gate term becomes l_active*(B*(f+beta)-1) — same
+    degree as the reference's B*(l_active*f+beta)-1, identical on active
+    rows, but imposing nothing on the blinding rows.
+
+  [T~]_1 is the theta-compressed G1 commitment of the table polynomials
+  (lazily one MSM per table, cached); [Z_V]_1/[x^{N-1}]_1 come from
+  StaticTableConfig (requires the SRS's extra power [x^N]_1, TableSRS.g1_xn).
 """
 from __future__ import annotations
 
@@ -22,7 +46,7 @@ P = FR_MOD
 
 
 def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
-                         instance, transcript) -> dict:
+                         instance, transcript, rng=None) -> dict:
     """prover.rs:51-183: evaluate+compress inputs into f, count sparse
     multiplicities m, commit f (Lagrange MSM) and m (sparse over the table's
     Lagrange basis)."""
@@ -99,6 +123,13 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
             m_sparse[index] = m_sparse.get(index, 0) + 1
 
     prof_row.__exit__(None, None, None)
+    zk = getattr(pk.vk.cs, "zk_static_lookups", False)
+    zk_c = 0
+    if zk:
+        if getattr(table_config, "zv_g1", None) is None or rng is None:
+            raise ValueError("zk static lookups need StaticTableConfig "
+                             "zv_g1/xn1_g1 (TableSRS.g1_xn) and a prover rng")
+        zk_c = rng.randrange(P)
     with profiler.phase("f_m_commits"):
         f_cm = params.commit_lagrange(f)
         idxs = sorted(m_sparse)
@@ -106,6 +137,8 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
             [m_sparse[i] for i in idxs], idxs, table_config.g1_lagrange,
             packed=M.packed_basis(table_config, "_g1l_packed",
                                   table_config.g1_lagrange))
+        if zk:
+            m_cm = CH.g1_add(m_cm, CH.g1_mul(table_config.zv_g1, zk_c))
     transcript.write_point(f_cm)
     transcript.write_point(m_cm)
     return {
@@ -113,6 +146,8 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
         "m_sparse": m_sparse,
         "table_ids": arg.table_ids,
         "table_index_value_mappings": table_index_value_mappings,
+        "zk_c": zk_c,
+        "zk_rng": rng,
     }
 
 
@@ -139,6 +174,11 @@ def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
             tvs.append(tv)
         denom_invs = batch_inv([(tv + beta) % P for tv in tvs], P)
         a_vals = [committed["m_sparse"][i] * dv % P for i, dv in zip(idxs, denom_invs)]
+    zk = getattr(pk.vk.cs, "zk_static_lookups", False)
+    zk_r = 0
+    if zk:
+        rng = committed["zk_rng"]
+        zk_r = rng.randrange(P)
     with profiler.phase("a_commits"):
         a_cm = M.msm_indexed(
             a_vals, idxs, table_config.g1_lagrange,
@@ -154,6 +194,25 @@ def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
                 a_vals, idxs, table.qs,
                 packed=M.packed_basis(table, "_qs_packed", table.qs))
             qa_cm = CH.g1_add(CH.g1_mul(qa_cm, theta) if qa_cm else None, part)
+        if zk:
+            # a' = a + r[Z_V]; a0' = a0 + r[x^{N-1}];
+            # qa' = qa + r[T~]_1 + (r*beta - c)[1]_1  (see module docstring)
+            t1_bar = None
+            for table in tables:
+                t1 = getattr(table, "_t1_commit", None)
+                if t1 is None:
+                    t1 = M.msm(table.values, table_config.g1_lagrange,
+                               packed=M.packed_basis(
+                                   table_config, "_g1l_packed",
+                                   table_config.g1_lagrange))
+                    table._t1_commit = t1
+                t1_bar = CH.g1_add(
+                    CH.g1_mul(t1_bar, theta) if t1_bar else None, t1)
+            a_cm = CH.g1_add(a_cm, CH.g1_mul(table_config.zv_g1, zk_r))
+            a0_cm = CH.g1_add(a0_cm, CH.g1_mul(table_config.xn1_g1, zk_r))
+            qa_cm = CH.g1_add(qa_cm, CH.g1_mul(t1_bar, zk_r))
+            qa_cm = CH.g1_add(qa_cm, CH.g1_mul(
+                CH.G1_GEN, (zk_r * beta - committed["zk_c"]) % P))
 
     bf = pk.vk.cs.blinding_factors()
     n = params.n
@@ -161,7 +220,15 @@ def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
     with profiler.phase("b_side"):
         beta_inv = inv_mod(beta, P)
         bs = batch_inv([(fi + beta) % P for fi in committed["f"][:usable_rows]], P)
-        bs += [beta_inv] * (bf + 1)
+        if zk:
+            # random blinding rows constrained so the sumcheck link emits
+            # the blinded A'(0) = A(0) - r: sum = (bf+1)/beta - r*N
+            blind = [rng.randrange(P) for _ in range(bf)]
+            total = ((bf + 1) * beta_inv - zk_r * tables[0].size) % P
+            blind.append((total - sum(blind)) % P)
+            bs += blind
+        else:
+            bs += [beta_inv] * (bf + 1)
         b_poly = domain.lagrange_to_coeff_host(bs)
 
     b0_coeffs = b_poly[1:]
@@ -260,7 +327,9 @@ def static_lookup_register_pairings(ev: dict, vk, params, batcher, beta, theta) 
 
 
 def static_lookup_expressions(ev: dict, vk, l_last, l_blind, beta, x) -> List[int]:
-    """verifier.rs:182-221: contribute B(x)(l_active f(x) + beta) - 1."""
+    """verifier.rs:182-221: contribute B(x)(l_active f(x) + beta) - 1; in zk
+    mode l_active(B(x)(f(x) + beta) - 1) (identical on active rows, nothing
+    imposed on B's blinding rows — see module docstring)."""
     active_rows = (1 - (l_last + l_blind)) % P
     tables = [vk.static_table_mapping[tid] for tid in ev["table_ids"]]
     # NOTE: reference uses the SRS g1 length stored in committed table `size`;
@@ -271,6 +340,8 @@ def static_lookup_expressions(ev: dict, vk, l_last, l_blind, beta, x) -> List[in
     n_inv = inv_mod(vk.domain.n, P)
     b_at_zero = ((table_size * ev["a_at_zero"] + (bf + 1) * beta_inv) % P) * n_inv % P
     b_eval = (ev["b0_eval"] * x + b_at_zero) % P
+    if getattr(vk.cs, "zk_static_lookups", False):
+        return [active_rows * (b_eval * ((ev["f_eval"] + beta) % P) - 1) % P]
     return [(b_eval * ((active_rows * ev["f_eval"] + beta) % P) - 1) % P]
 
 

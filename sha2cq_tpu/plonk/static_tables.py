@@ -44,6 +44,10 @@ class StaticTableConfig:
     size: int
     g1_lagrange: List[CH.G1Affine]
     g_lagrange_opening_at_0: List[CH.G1Affine]
+    # zk static-lookup blinding material (None => zk mode unavailable for
+    # this size): [Z_V]_1 = [x^N - 1]_1 and [x^{N-1}]_1
+    zv_g1: CH.G1Affine = None
+    xn1_g1: CH.G1Affine = None
 
 
 class StaticTableValues:

@@ -106,11 +106,18 @@ class ParamsKZG:
 @dataclass
 class TableSRS:
     """SRS for CQ static tables: includes long G2 power list and the
-    Lagrange-opening-at-0 basis (reference commitment.rs:42-47)."""
+    Lagrange-opening-at-0 basis (reference commitment.rs:42-47).
+
+    g1_xn ([x^N]_1, one power past the Lagrange range) exists only to blind
+    CQ commitments with multiples of [Z_V]_1 = [x^N]_1 - [1]_1 in the zk
+    static-lookup mode (plonk/static_lookup.py); the reference's SRS stops
+    at x^{N-1} because its CQ argument is explicitly non-zk
+    (static_lookup/prover.rs:122-124)."""
     g1: List[CH.G1Affine]
     g1_lagrange: List[CH.G1Affine]
     g_lagrange_opening_at_0: List[CH.G1Affine]
     g2: List[CH.G2Affine]
+    g1_xn: CH.G1Affine = None
 
     @staticmethod
     def setup_from_toxic_waste(max_g1_power: int, max_g2_power: int, s: int) -> "TableSRS":
@@ -149,4 +156,5 @@ class TableSRS:
         else:
             scaled_aff = CH.jac_batch_to_affine(scaled)
         opening_at_0 = [CH.g1_add(pt, neg_last) for pt in scaled_aff]
-        return TableSRS(g1, g1_lagrange, opening_at_0, g2)
+        g1_xn = CH.g1_mul(CH.G1_GEN, pow(s, g1_len, P))
+        return TableSRS(g1, g1_lagrange, opening_at_0, g2, g1_xn)

@@ -66,8 +66,11 @@ def _setup(k=3, seed=0x6371):  # seed spells "cq"
     t1 = StaticTable(opened=t1v, committed=t1v.commit(len(srs.g1), srs.g2, 1 << k))
     t2 = StaticTable(opened=t2v, committed=t2v.commit(len(srs.g1), srs.g2, 1 << k))
     params = ParamsKZG.setup_from_toxic_waste(k, s)
+    from sha2cq_tpu.curves import host as CH
     configs = {table_size: StaticTableConfig(
-        table_size, srs.g1_lagrange, srs.g_lagrange_opening_at_0)}
+        table_size, srs.g1_lagrange, srs.g_lagrange_opening_at_0,
+        zv_g1=CH.g1_add(srs.g1_xn, CH.g1_neg(srs.g1[0])),
+        xn1_g1=srs.g1[table_size - 1])}
     b0_g1_bound = srs.g1[(1 << k) + 1:]
     return rng, srs, t1, t2, params, configs, b0_g1_bound
 

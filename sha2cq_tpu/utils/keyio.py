@@ -184,6 +184,9 @@ def write_pk(pk: ProvingKey) -> bytes:
         w.u32(size)
         w.g1s(cfg.g1_lagrange)
         w.g1s(cfg.g_lagrange_opening_at_0)
+        # zk blinding material ([Z_V]_1, [x^{N-1}]_1); identity bytes = None
+        w.g1(getattr(cfg, "zv_g1", None))
+        w.g1(getattr(cfg, "xn1_g1", None))
     w.g1s(pk.b0_g1_bound)
     return w.bytes()
 
@@ -241,7 +244,8 @@ def read_pk(data: bytes, circuit) -> ProvingKey:
     configs = {}
     for _ in range(r.u32()):
         size = r.u32()
-        configs[size] = StaticTableConfig(size, r.g1s(), r.g1s())
+        configs[size] = StaticTableConfig(size, r.g1s(), r.g1s(),
+                                          zv_g1=r.g1(), xn1_g1=r.g1())
     b0 = r.g1s()
 
     return ProvingKey(
@@ -313,6 +317,8 @@ def write_table_bundle(static_tables, configs, b0_g1_bound, srs) -> bytes:
         w.u32(size)
         w.g1s(cfg.g1_lagrange)
         w.g1s(cfg.g_lagrange_opening_at_0)
+        w.g1(getattr(cfg, "zv_g1", None))
+        w.g1(getattr(cfg, "xn1_g1", None))
     w.g1s(b0_g1_bound)
     w.g1s(srs.g1)
     w.g1s(srs.g1_lagrange)
@@ -320,6 +326,7 @@ def write_table_bundle(static_tables, configs, b0_g1_bound, srs) -> bytes:
     w.u32(len(srs.g2))
     for p in srs.g2:
         w.g2(p)
+    w.g1(getattr(srs, "g1_xn", None))
     return w.bytes()
 
 
@@ -337,12 +344,14 @@ def read_table_bundle(data: bytes):
     configs = {}
     for _ in range(r.u32()):
         size = r.u32()
-        configs[size] = StaticTableConfig(size, r.g1s(), r.g1s())
+        configs[size] = StaticTableConfig(size, r.g1s(), r.g1s(),
+                                          zv_g1=r.g1(), xn1_g1=r.g1())
     b0 = r.g1s()
     g1 = r.g1s()
     g1_lagrange = r.g1s()
     opening0 = r.g1s()
     g2 = [r.g2() for _ in range(r.u32())]
+    g1_xn = r.g1()
     srs = TableSRS(g1=g1, g1_lagrange=g1_lagrange,
-                   g_lagrange_opening_at_0=opening0, g2=g2)
+                   g_lagrange_opening_at_0=opening0, g2=g2, g1_xn=g1_xn)
     return static_tables, configs, b0, srs

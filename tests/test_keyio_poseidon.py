@@ -40,6 +40,12 @@ def test_vk_pk_roundtrip_with_static_tables():
                            [[]], Blake2bRead(proof))
     assert batcher.check()
 
+    # zk blinding material survives the round trip (a zk prover on a
+    # restored pk must not silently degrade)
+    for size, cfg in pk.static_table_configs.items():
+        assert pk2.static_table_configs[size].zv_g1 == cfg.zv_g1
+        assert pk2.static_table_configs[size].xn1_g1 == cfg.xn1_g1
+
 
 def test_poseidon_permutation_properties():
     p = Poseidon(t=3, r_f=8, r_p=57)

@@ -1154,3 +1154,424 @@ void fr_batch_inv(u64 *vals, long n) {
     __builtin_free(pref);
     __builtin_free(vm);
 }
+
+/* =================== optimal-ate pairing (BN254, verifier) ===================
+   Tower: fq2 = fq[u]/(u^2+1); fq6 = fq2[v]/(v^3 - xi), xi = 9+u;
+   fq12 = fq6[w]/(w^2 - v).  Mirrors curves/host.py miller_loop (Fq2
+   Jacobian dbl/add steps with sparse {w^0,w^1,w^3} line coefficients) and
+   final_exponentiation (BN addition chain, 3x exp-by-x); randomized
+   equality vs the Python oracle is pinned in tests/test_native_pairing.py.
+   All constants below are Montgomery-form; generated from the Python
+   tower (fq2_pow(XI, (p-1)/3) etc.) and cross-checked there. */
+
+static void fq_neg(fq *r, const fq *a) {
+    if (fq_is_zero(a)) { *r = *a; return; }
+    u64 br = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)Q[i] - a->v[i] - br;
+        r->v[i] = (u64)d;
+        br = (d >> 64) ? 1 : 0;
+    }
+}
+
+static void fq2_neg(fq2 *r, const fq2 *a) { fq_neg(&r->c0, &a->c0); fq_neg(&r->c1, &a->c1); }
+static void fq2_conj(fq2 *r, const fq2 *a) { r->c0 = a->c0; fq_neg(&r->c1, &a->c1); }
+
+static void fq2_mul_fq(fq2 *r, const fq2 *a, const fq *b) {
+    fq_mul(&r->c0, &a->c0, b);
+    fq_mul(&r->c1, &a->c1, b);
+}
+
+static void fq2_mul_xi(fq2 *r, const fq2 *a) {
+    /* (9 a0 - a1) + (a0 + 9 a1) u */
+    fq t0, t1, n0;
+    fq_dbl(&t0, &a->c0); fq_dbl(&t0, &t0); fq_dbl(&t0, &t0); fq_add(&t0, &t0, &a->c0); /* 9 a0 */
+    fq_dbl(&t1, &a->c1); fq_dbl(&t1, &t1); fq_dbl(&t1, &t1); fq_add(&t1, &t1, &a->c1); /* 9 a1 */
+    n0 = a->c0;
+    fq_sub(&t0, &t0, &a->c1);
+    fq_add(&t1, &t1, &n0);
+    r->c0 = t0; r->c1 = t1;
+}
+
+static void fq2_sq2(fq2 *r, const fq2 *a) { fq2_mul(r, a, a); }
+
+static void fq2_inv(fq2 *r, const fq2 *a) {
+    fq d, t0, t1;
+    fq_mul(&t0, &a->c0, &a->c0);
+    fq_mul(&t1, &a->c1, &a->c1);
+    fq_add(&d, &t0, &t1);
+    fq_inv(&d, &d);
+    fq_mul(&r->c0, &a->c0, &d);
+    fq_mul(&t0, &a->c1, &d);
+    fq_neg(&r->c1, &t0);
+}
+
+typedef struct { fq2 c0, c1, c2; } fq6;
+
+static void fq6_add(fq6 *r, const fq6 *a, const fq6 *b) {
+    fq2_add(&r->c0, &a->c0, &b->c0);
+    fq2_add(&r->c1, &a->c1, &b->c1);
+    fq2_add(&r->c2, &a->c2, &b->c2);
+}
+
+static void fq6_sub(fq6 *r, const fq6 *a, const fq6 *b) {
+    fq2_sub(&r->c0, &a->c0, &b->c0);
+    fq2_sub(&r->c1, &a->c1, &b->c1);
+    fq2_sub(&r->c2, &a->c2, &b->c2);
+}
+
+static void fq6_neg(fq6 *r, const fq6 *a) {
+    fq2_neg(&r->c0, &a->c0); fq2_neg(&r->c1, &a->c1); fq2_neg(&r->c2, &a->c2);
+}
+
+static void fq6_mul(fq6 *r, const fq6 *a, const fq6 *b) {
+    fq2 t0, t1, t2, s0, s1, x;
+    fq6 out;
+    fq2_mul(&t0, &a->c0, &b->c0);
+    fq2_mul(&t1, &a->c1, &b->c1);
+    fq2_mul(&t2, &a->c2, &b->c2);
+    /* c0 = t0 + xi((a1+a2)(b1+b2) - t1 - t2) */
+    fq2_add(&s0, &a->c1, &a->c2);
+    fq2_add(&s1, &b->c1, &b->c2);
+    fq2_mul(&x, &s0, &s1);
+    fq2_sub(&x, &x, &t1);
+    fq2_sub(&x, &x, &t2);
+    fq2_mul_xi(&x, &x);
+    fq2_add(&out.c0, &t0, &x);
+    /* c1 = (a0+a1)(b0+b1) - t0 - t1 + xi t2 */
+    fq2_add(&s0, &a->c0, &a->c1);
+    fq2_add(&s1, &b->c0, &b->c1);
+    fq2_mul(&x, &s0, &s1);
+    fq2_sub(&x, &x, &t0);
+    fq2_sub(&x, &x, &t1);
+    fq2 xt2;
+    fq2_mul_xi(&xt2, &t2);
+    fq2_add(&out.c1, &x, &xt2);
+    /* c2 = (a0+a2)(b0+b2) - t0 - t2 + t1 */
+    fq2_add(&s0, &a->c0, &a->c2);
+    fq2_add(&s1, &b->c0, &b->c2);
+    fq2_mul(&x, &s0, &s1);
+    fq2_sub(&x, &x, &t0);
+    fq2_sub(&x, &x, &t2);
+    fq2_add(&out.c2, &x, &t1);
+    *r = out;
+}
+
+static void fq6_mul_by_v(fq6 *r, const fq6 *a) {
+    /* v (a0 + a1 v + a2 v^2) = xi a2 + a0 v + a1 v^2 */
+    fq6 out;
+    fq2_mul_xi(&out.c0, &a->c2);
+    out.c1 = a->c0;
+    out.c2 = a->c1;
+    *r = out;
+}
+
+static void fq6_inv(fq6 *r, const fq6 *a) {
+    fq2 C0, C1, C2, t, x, T;
+    /* C0 = a0^2 - xi a1 a2; C1 = xi a2^2 - a0 a1; C2 = a1^2 - a0 a2 */
+    fq2_sq2(&C0, &a->c0);
+    fq2_mul(&t, &a->c1, &a->c2);
+    fq2_mul_xi(&t, &t);
+    fq2_sub(&C0, &C0, &t);
+    fq2_sq2(&C1, &a->c2);
+    fq2_mul_xi(&C1, &C1);
+    fq2_mul(&t, &a->c0, &a->c1);
+    fq2_sub(&C1, &C1, &t);
+    fq2_sq2(&C2, &a->c1);
+    fq2_mul(&t, &a->c0, &a->c2);
+    fq2_sub(&C2, &C2, &t);
+    /* T = a0 C0 + xi(a2 C1 + a1 C2) */
+    fq2_mul(&x, &a->c2, &C1);
+    fq2_mul(&t, &a->c1, &C2);
+    fq2_add(&x, &x, &t);
+    fq2_mul_xi(&x, &x);
+    fq2_mul(&T, &a->c0, &C0);
+    fq2_add(&T, &T, &x);
+    fq2_inv(&T, &T);
+    fq2_mul(&r->c0, &C0, &T);
+    fq2_mul(&r->c1, &C1, &T);
+    fq2_mul(&r->c2, &C2, &T);
+}
+
+typedef struct { fq6 c0, c1; } fq12;
+
+static void fq12_mul(fq12 *r, const fq12 *a, const fq12 *b) {
+    fq6 t0, t1, s0, s1, x;
+    fq12 out;
+    fq6_mul(&t0, &a->c0, &b->c0);
+    fq6_mul(&t1, &a->c1, &b->c1);
+    /* c0 = t0 + v t1 ; c1 = (a0+a1)(b0+b1) - t0 - t1 */
+    fq6_mul_by_v(&x, &t1);
+    fq6_add(&out.c0, &t0, &x);
+    fq6_add(&s0, &a->c0, &a->c1);
+    fq6_add(&s1, &b->c0, &b->c1);
+    fq6_mul(&x, &s0, &s1);
+    fq6_sub(&x, &x, &t0);
+    fq6_sub(&out.c1, &x, &t1);
+    *r = out;
+}
+
+static void fq12_sq(fq12 *r, const fq12 *a) { fq12_mul(r, a, a); }
+
+static void fq12_conj(fq12 *r, const fq12 *a) {
+    r->c0 = a->c0;
+    fq6_neg(&r->c1, &a->c1);
+}
+
+static void fq12_inv(fq12 *r, const fq12 *a) {
+    fq6 t0, t1, x;
+    fq6_mul(&t0, &a->c0, &a->c0);
+    fq6_mul(&t1, &a->c1, &a->c1);
+    fq6_mul_by_v(&x, &t1);
+    fq6_sub(&t0, &t0, &x);
+    fq6_inv(&t0, &t0);
+    fq6_mul(&r->c0, &a->c0, &t0);
+    fq6_mul(&x, &a->c1, &t0);
+    fq6_neg(&r->c1, &x);
+}
+
+/* Frobenius^1 coefficients (Montgomery form): FROB6_C1 = xi^((p-1)/3),
+   FROB6_C2 = xi^(2(p-1)/3), FROB12_C1 = xi^((p-1)/6); PSI_X/PSI_Y are the
+   untwist-Frobenius-twist constants for the G2 endomorphism. */
+static const fq2 FROB6_C1 = {{{0xb5773b104563ab30ULL, 0x347f91c8a9aa6454ULL, 0x7a007127242e0991ULL, 0x1956bcd8118214ecULL}}, {{0x6e849f1ea0aa4757ULL, 0xaa1c7b6d89f89141ULL, 0xb6e713cdfae0ca3aULL, 0x26694fbb4e82ebc3ULL}}};
+static const fq2 FROB6_C2 = {{{0x7361d77f843abe92ULL, 0xa5bb2bd3273411fbULL, 0x9c941f314b3e2399ULL, 0x15df9cddbb9fd3ecULL}}, {{0x5dddfd154bd8c949ULL, 0x62cb29a5a4445b60ULL, 0x37bc870a0c7dd2b9ULL, 0x24830a9d3171f0fdULL}}};
+static const fq2 FROB12_C1 = {{{0xaf9ba69633144907ULL, 0xca6b1d7387afb78aULL, 0x11bded5ef08a2087ULL, 0x02f34d751a1f3a7cULL}}, {{0xa222ae234c492d72ULL, 0xd00f02a4565de15bULL, 0xdc2ff3a253dfc926ULL, 0x10a75716b3899551ULL}}};
+static const fq2 PSI_X = {{{0xb5773b104563ab30ULL, 0x347f91c8a9aa6454ULL, 0x7a007127242e0991ULL, 0x1956bcd8118214ecULL}}, {{0x6e849f1ea0aa4757ULL, 0xaa1c7b6d89f89141ULL, 0xb6e713cdfae0ca3aULL, 0x26694fbb4e82ebc3ULL}}};
+static const fq2 PSI_Y = {{{0xe4bbdd0c2936b629ULL, 0xbb30f162e133bacbULL, 0x31a9d1b6f9645366ULL, 0x253570bea500f8ddULL}}, {{0xa1d77ce45ffe77c7ULL, 0x07affd117826d1dbULL, 0x6d16bd27bb7edc6bULL, 0x2c87200285defeccULL}}};
+
+static void fq12_frob1(fq12 *r, const fq12 *a) {
+    fq12 out;
+    fq2_conj(&out.c0.c0, &a->c0.c0);
+    fq2_conj(&out.c0.c1, &a->c0.c1); fq2_mul(&out.c0.c1, &out.c0.c1, &FROB6_C1);
+    fq2_conj(&out.c0.c2, &a->c0.c2); fq2_mul(&out.c0.c2, &out.c0.c2, &FROB6_C2);
+    fq2_conj(&out.c1.c0, &a->c1.c0); fq2_mul(&out.c1.c0, &out.c1.c0, &FROB12_C1);
+    fq2_conj(&out.c1.c1, &a->c1.c1); fq2_mul(&out.c1.c1, &out.c1.c1, &FROB6_C1);
+    fq2_mul(&out.c1.c1, &out.c1.c1, &FROB12_C1);
+    fq2_conj(&out.c1.c2, &a->c1.c2); fq2_mul(&out.c1.c2, &out.c1.c2, &FROB6_C2);
+    fq2_mul(&out.c1.c2, &out.c1.c2, &FROB12_C1);
+    *r = out;
+}
+
+static void fq12_set_one(fq12 *r) {
+    memset(r, 0, sizeof(*r));
+    memcpy(r->c0.c0.c0.v, RMODQ, sizeof(RMODQ));
+}
+
+static int fq12_is_one(const fq12 *a) {
+    fq12 one;
+    fq12_set_one(&one);
+    return memcmp(a, &one, sizeof(one)) == 0;
+}
+
+/* ------------------------------ Miller loop ------------------------------ */
+
+typedef struct { fq2 X, Y, Z; } g2j;
+
+static void line_dbl(g2j *t, const fq *xp3, const fq *ypn2,
+                     fq2 *c0, fq2 *c1, fq2 *c3) {
+    /* curves/host.py _dbl_step: line scaled by 2 Yt Zt^6 */
+    fq2 XX, YY, YYYY, ZZ, S, M, X3, Y3, Z3, Zt3, tt;
+    fq2_sq2(&XX, &t->X);
+    fq2_sq2(&YY, &t->Y);
+    fq2_sq2(&YYYY, &YY);
+    fq2_sq2(&ZZ, &t->Z);
+    fq2_add(&tt, &t->X, &YY);
+    fq2_sq2(&tt, &tt);
+    fq2_sub(&tt, &tt, &XX);
+    fq2_sub(&tt, &tt, &YYYY);
+    fq2_dbl(&S, &tt);
+    fq2_dbl(&M, &XX);
+    fq2_add(&M, &M, &XX);
+    fq2_sq2(&X3, &M);
+    fq2_dbl(&tt, &S);
+    fq2_sub(&X3, &X3, &tt);
+    fq2_add(&Z3, &t->Y, &t->Z);
+    fq2_sq2(&Z3, &Z3);
+    fq2_sub(&Z3, &Z3, &YY);
+    fq2_sub(&Z3, &Z3, &ZZ);
+    fq2_sub(&tt, &S, &X3);
+    fq2_mul(&Y3, &M, &tt);
+    fq2_dbl(&tt, &YYYY); fq2_dbl(&tt, &tt); fq2_dbl(&tt, &tt);
+    fq2_sub(&Y3, &Y3, &tt);
+    fq2_mul(&Zt3, &ZZ, &t->Z);
+    /* c0 = (Y Zt3) * (-2 yp); c1 = (XX ZZ) * (3 xp); c3 = 2 YY - 3 XX X */
+    fq2_mul(c0, &t->Y, &Zt3);
+    fq2_mul_fq(c0, c0, ypn2);
+    fq2_mul(c1, &XX, &ZZ);
+    fq2_mul_fq(c1, c1, xp3);
+    fq2_mul(&tt, &XX, &t->X);
+    fq2 tt3;
+    fq2_dbl(&tt3, &tt); fq2_add(&tt3, &tt3, &tt);
+    fq2_dbl(c3, &YY);
+    fq2_sub(c3, c3, &tt3);
+    t->X = X3; t->Y = Y3; t->Z = Z3;
+}
+
+static void line_add(g2j *t, const fq2 *xq, const fq2 *yq,
+                      const fq *xp, const fq *ypn,
+                      fq2 *c0, fq2 *c1, fq2 *c3) {
+    /* curves/host.py _add_step: line scaled by H Zt = Z3 */
+    fq2 ZZ, U2, S2, H, R, HH, HHH, V, X3, Y3, Z3, tt;
+    fq2_sq2(&ZZ, &t->Z);
+    fq2_mul(&U2, xq, &ZZ);
+    fq2_mul(&S2, yq, &ZZ);
+    fq2_mul(&S2, &S2, &t->Z);
+    fq2_sub(&H, &U2, &t->X);
+    fq2_sub(&R, &S2, &t->Y);
+    fq2_sq2(&HH, &H);
+    fq2_mul(&HHH, &H, &HH);
+    fq2_mul(&V, &t->X, &HH);
+    fq2_sq2(&X3, &R);
+    fq2_sub(&X3, &X3, &HHH);
+    fq2_dbl(&tt, &V);
+    fq2_sub(&X3, &X3, &tt);
+    fq2_sub(&tt, &V, &X3);
+    fq2_mul(&Y3, &R, &tt);
+    fq2_mul(&tt, &t->Y, &HHH);
+    fq2_sub(&Y3, &Y3, &tt);
+    fq2_mul(&Z3, &t->Z, &H);
+    fq2_mul_fq(c0, &Z3, ypn);
+    fq2_mul_fq(c1, &R, xp);
+    fq2_mul(c3, yq, &Z3);
+    fq2_mul(&tt, &R, xq);
+    fq2_sub(c3, c3, &tt);
+    t->X = X3; t->Y = Y3; t->Z = Z3;
+}
+
+static void fq12_mul_sparse013(fq12 *f, const fq2 *c0, const fq2 *c1, const fq2 *c3) {
+    /* multiply by g with g0.a0 = c0, g1.a0 = c1, g1.a1 = c3, rest zero */
+    fq12 g;
+    memset(&g, 0, sizeof(g));
+    g.c0.c0 = *c0;
+    g.c1.c0 = *c1;
+    g.c1.c1 = *c3;
+    fq12_mul(f, f, &g);
+}
+
+/* ATE_LOOP_COUNT = 6x+2 = 29793968203157093288 (65 bits) */
+static const u64 ATE_LO = 0x9d797039be763ba8ULL;  /* low 64 bits */
+/* bit 64 is set; loop runs i = 63..0 like the Python bit_length-2 start */
+
+static void miller_loop_c(const fq *xp, const fq *yp,
+                          const fq2 *xq, const fq2 *yq, fq12 *f) {
+    fq xp3, ypn, ypn2, t0;
+    fq_dbl(&t0, xp);
+    fq_add(&xp3, &t0, xp);          /* 3 xp */
+    fq_neg(&ypn, yp);               /* -yp */
+    fq_dbl(&ypn2, &ypn);            /* -2 yp */
+    g2j t;
+    t.X = *xq; t.Y = *yq;
+    memset(&t.Z, 0, sizeof(t.Z));
+    memcpy(t.Z.c0.v, RMODQ, sizeof(RMODQ));
+    fq12_set_one(f);
+    fq2 c0, c1, c3;
+    for (int i = 63; i >= 0; i--) {
+        fq12_sq(f, f);
+        line_dbl(&t, &xp3, &ypn2, &c0, &c1, &c3);
+        fq12_mul_sparse013(f, &c0, &c1, &c3);
+        if ((ATE_LO >> i) & 1) {
+            line_add(&t, xq, yq, xp, &ypn, &c0, &c1, &c3);
+            fq12_mul_sparse013(f, &c0, &c1, &c3);
+        }
+    }
+    /* q1 = psi(q); q2 = psi(q1); add q1 then -q2 */
+    fq2 x1, y1, x2, y2, ny2;
+    fq2_conj(&x1, xq); fq2_mul(&x1, &x1, &PSI_X);
+    fq2_conj(&y1, yq); fq2_mul(&y1, &y1, &PSI_Y);
+    fq2_conj(&x2, &x1); fq2_mul(&x2, &x2, &PSI_X);
+    fq2_conj(&y2, &y1); fq2_mul(&y2, &y2, &PSI_Y);
+    fq2_neg(&ny2, &y2);
+    line_add(&t, &x1, &y1, xp, &ypn, &c0, &c1, &c3);
+    fq12_mul_sparse013(f, &c0, &c1, &c3);
+    line_add(&t, &x2, &ny2, xp, &ypn, &c0, &c1, &c3);
+    fq12_mul_sparse013(f, &c0, &c1, &c3);
+}
+
+/* BN parameter x = 4965661367192848881 (63 bits) */
+static const u64 BN_X_C = 0x44e992b44a6909f1ULL;
+
+static void fq12_exp_x(fq12 *r, const fq12 *a) {
+    fq12 acc, base;
+    fq12_set_one(&acc);
+    base = *a;
+    for (int i = 0; i < 63; i++) {
+        if ((BN_X_C >> i) & 1) fq12_mul(&acc, &acc, &base);
+        fq12_sq(&base, &base);
+    }
+    *r = acc;
+}
+
+static void final_exp_c(fq12 *r, const fq12 *f) {
+    /* easy: f^(p^6-1) then ^(p^2+1); hard: BN addition chain
+       (curves/host.py final_exponentiation) */
+    fq12 f1, fi, rr, fp1, fp2, fp3, fu, fu2, fu3, fu2p, fu3p;
+    fq12 y0, y1, y2, y3, y4, y5, y6, t0, t1, x;
+    fq12_conj(&f1, f);
+    fq12_inv(&fi, f);
+    fq12_mul(&f1, &f1, &fi);
+    fq12_frob1(&rr, &f1); fq12_frob1(&rr, &rr);
+    fq12_mul(&rr, &rr, &f1);
+    fq12_frob1(&fp1, &rr);
+    fq12_frob1(&fp2, &fp1);
+    fq12_frob1(&fp3, &fp2);
+    fq12_exp_x(&fu, &rr);
+    fq12_exp_x(&fu2, &fu);
+    fq12_exp_x(&fu3, &fu2);
+    fq12_frob1(&fu2p, &fu2);
+    fq12_frob1(&fu3p, &fu3);
+    fq12_mul(&y0, &fp1, &fp2);
+    fq12_mul(&y0, &y0, &fp3);
+    fq12_conj(&y1, &rr);
+    fq12_frob1(&y2, &fu2); fq12_frob1(&y2, &y2);
+    fq12_frob1(&y3, &fu); fq12_conj(&y3, &y3);
+    fq12_mul(&y4, &fu, &fu2p); fq12_conj(&y4, &y4);
+    fq12_conj(&y5, &fu2);
+    fq12_mul(&y6, &fu3, &fu3p); fq12_conj(&y6, &y6);
+    fq12_sq(&t0, &y6);
+    fq12_mul(&t0, &t0, &y4);
+    fq12_mul(&t0, &t0, &y5);
+    fq12_mul(&t1, &y3, &y5);
+    fq12_mul(&t1, &t1, &t0);
+    fq12_mul(&t0, &t0, &y2);
+    fq12_sq(&x, &t1);
+    fq12_mul(&x, &x, &t0);
+    fq12_sq(&t1, &x);
+    fq12_mul(&t0, &t1, &y1);
+    fq12_mul(&t1, &t1, &y0);
+    fq12_sq(&t0, &t0);
+    fq12_mul(r, &t1, &t0);
+}
+
+/* pairs: g1s n*(2*4) u64 affine x,y; g2s n*(4*4) u64 affine x(c0,c1),y(c0,c1);
+   all canonical (non-Montgomery); caller filters identity points.
+   out (optional, may be NULL): 48 u64 canonical fq12 of the final result.
+   Returns 1 iff prod e(Pi, Qi) == 1. */
+int bn_pairing_check(const u64 *g1s, const u64 *g2s, long n, u64 *out) {
+    fq12 acc, f;
+    fq12_set_one(&acc);
+    for (long i = 0; i < n; i++) {
+        fq xp, yp;
+        fq2 xq, yq;
+        memcpy(xp.v, g1s + 8 * i, 32);
+        memcpy(yp.v, g1s + 8 * i + 4, 32);
+        memcpy(xq.c0.v, g2s + 16 * i, 32);
+        memcpy(xq.c1.v, g2s + 16 * i + 4, 32);
+        memcpy(yq.c0.v, g2s + 16 * i + 8, 32);
+        memcpy(yq.c1.v, g2s + 16 * i + 12, 32);
+        fq_to_mont(&xp, &xp); fq_to_mont(&yp, &yp);
+        fq_to_mont(&xq.c0, &xq.c0); fq_to_mont(&xq.c1, &xq.c1);
+        fq_to_mont(&yq.c0, &yq.c0); fq_to_mont(&yq.c1, &yq.c1);
+        miller_loop_c(&xp, &yp, &xq, &yq, &f);
+        fq12_mul(&acc, &acc, &f);
+    }
+    final_exp_c(&acc, &acc);
+    if (out) {
+        fq *cs = (fq *)&acc;
+        for (int i = 0; i < 12; i++) {
+            fq t;
+            fq_from_mont(&t, &cs[i]);
+            memcpy(out + 4 * i, t.v, 32);
+        }
+    }
+    return fq12_is_one(&acc);
+}

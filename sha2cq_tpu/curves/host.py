@@ -584,7 +584,14 @@ def pairing(p: G1Affine, q: G2Affine) -> tuple:
 
 
 def pairing_check(pairs: Sequence[Tuple[G1Affine, G2Affine]]) -> bool:
-    """prod e(Pi, Qi) == 1"""
+    """prod e(Pi, Qi) == 1.  Dispatches to the C multi-Miller loop + final
+    exponentiation (native/fieldops.c bn_pairing_check, ~14x the Python
+    tower; bit-exact equality pinned in tests/test_native_pairing.py); the
+    Python path below remains the oracle and the no-toolchain fallback."""
+    from ..native_loader import native_pairing_check
+    ok = native_pairing_check(pairs)
+    if ok is not None:
+        return ok
     return final_exponentiation(multi_miller_loop(pairs)) == FQ12_ONE
 
 

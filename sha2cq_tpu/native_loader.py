@@ -74,6 +74,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fr_eval_poly.argtypes = [U64P, ctypes.c_long, U64P, U64P]
         lib.fr_kate_div.argtypes = [U64P, ctypes.c_long, U64P, U64P]
         lib.fr_batch_inv.argtypes = [U64P, ctypes.c_long]
+        lib.bn_pairing_check.argtypes = [U64P, U64P, ctypes.c_long, U64P]
+        lib.bn_pairing_check.restype = ctypes.c_int
         _lib = lib
         return lib
     except OSError:
@@ -437,3 +439,33 @@ def native_fr_batch_inv(values: List[int]) -> Optional[List[int]]:
     buf = fr_buf(values)
     lib.fr_batch_inv(_u64p(buf), ctypes.c_long(len(values)))
     return fr_unbuf(buf)
+
+
+def native_pairing_check(pairs, want_fq12: bool = False):
+    """prod e(Pi, Qi) == 1 via the C multi-Miller loop + final exponentiation
+    (native/fieldops.c bn_pairing_check).  pairs: [(G1Affine, G2Affine)];
+    identity-point pairs contribute e = 1 and are filtered here.  Returns
+    None when native is unavailable; with want_fq12=True returns
+    (ok, fq12_tuple) for oracle comparison in tests."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    live = [(p, q) for p, q in pairs if p is not None and q is not None]
+    n = len(live)
+    g1 = (ctypes.c_uint64 * (8 * n))()
+    g2 = (ctypes.c_uint64 * (16 * n))()
+    for i, (p, q) in enumerate(live):
+        g1[8 * i: 8 * i + 4] = _u64s(p[0])
+        g1[8 * i + 4: 8 * i + 8] = _u64s(p[1])
+        g2[16 * i: 16 * i + 4] = _u64s(q[0][0])
+        g2[16 * i + 4: 16 * i + 8] = _u64s(q[0][1])
+        g2[16 * i + 8: 16 * i + 12] = _u64s(q[1][0])
+        g2[16 * i + 12: 16 * i + 16] = _u64s(q[1][1])
+    out = (ctypes.c_uint64 * 48)()
+    ok = bool(lib.bn_pairing_check(g1, g2, ctypes.c_long(n), out))
+    if not want_fq12:
+        return ok
+    coeffs = [_from_u64s(out, 4 * i) for i in range(12)]
+    f = ((tuple(coeffs[0:2]), tuple(coeffs[2:4]), tuple(coeffs[4:6])),
+         (tuple(coeffs[6:8]), tuple(coeffs[8:10]), tuple(coeffs[10:12])))
+    return ok, f

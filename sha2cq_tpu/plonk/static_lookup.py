@@ -301,22 +301,22 @@ def static_lookup_verifier_evaluate(committed: dict, transcript) -> dict:
 
 
 def static_lookup_register_pairings(ev: dict, vk, params, batcher, beta, theta) -> None:
-    """verifier.rs:117-180: the three pairing identities, one add_pairing."""
+    """verifier.rs:117-180: the three pairing identities, one add_pairing.
+
+    The theta compression of the table commitments happens on the G1 side:
+    e(a, sum_t theta^i [T_t]_2) = prod_t e(theta^i a, T_t), so each table
+    contributes a cheap native G1 mul instead of a per-lookup G2 MSM (14
+    G2 MSMs were ~50% of k=7 SHA verify), and the batcher merges the pairs
+    of lookups that share a component table into one Miller-loop term."""
     tables = [vk.static_table_mapping[tid] for tid in ev["table_ids"]]
     # m - beta * a
     m_minus_beta_a = CH.g1_add(ev["m"], CH.g1_neg(CH.g1_mul(ev["a"], beta)))
     a_at_zero_cm = CH.g1_mul(CH.G1_GEN, ev["a_at_zero"])
-    # theta-compress the table G2 commitments as one small G2 MSM
-    # (native kernel; the per-table Python g2_mul chain dominated verify)
-    from ..native_loader import native_g2_msm
-    thetas = [pow(theta, len(tables) - 1 - i, FR_MOD) for i in range(len(tables))]
-    table_t = native_g2_msm(thetas, [t.t for t in tables])
-    if table_t is None:
-        for table in tables:
-            table_t = CH.g2_add(
-                CH.g2_mul(table_t, theta) if table_t else None, table.t)
-    batcher.add_pairing([
-        (ev["a"], table_t),
+    table_pairs = []
+    for i, table in enumerate(tables):
+        th = pow(theta, len(tables) - 1 - i, FR_MOD)
+        table_pairs.append((CH.g1_mul(ev["a"], th), table.t))
+    batcher.add_pairing(table_pairs + [
         (CH.g1_neg(ev["qa"]), tables[0].zv),
         (CH.g1_neg(m_minus_beta_a), params.g2),
         (ev["b0"], tables[0].x_b0_bound),

@@ -16,14 +16,29 @@ chain of RUNS dependent NTTs closed by one device_get and amortize; the
 first (unamortized) call is reported in "extra" for transparency.
 """
 import json
+import signal
 import time
 
 K = 18
 RUNS = 20
 BASELINE_BEST_FFT_S = 0.100  # reference-class CPU best_fft at 2^18 (see docstring)
+WATCHDOG_S = 900  # the axon tunnel can hang indefinitely when down; emit
+                  # an error JSON line instead of stalling the driver
+
+
+def _watchdog(signum, frame):
+    print(json.dumps({
+        "metric": f"ntt_2e{K}_seconds", "value": None, "unit": "s",
+        "vs_baseline": None,
+        "extra": {"error": f"watchdog: no result within {WATCHDOG_S}s "
+                           "(axon tunnel down or first compile stalled)"},
+    }), flush=True)
+    raise SystemExit(3)
 
 
 def main() -> None:
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(WATCHDOG_S)
     import numpy as np
     import jax
     from sha2cq_tpu.fields import device as D, host as H
@@ -48,12 +63,52 @@ def main() -> None:
     _ = jax.device_get(r[:, :1])
     dt = (time.perf_counter() - t0) / RUNS
 
+    extra = {"first_call_s": round(warm_s, 3), "path": "mxu_int8_matmul"}
+
+    # secondary metrics (VERDICT r1 item 5): host-native MSM and a full
+    # e2e CQ prove+verify (my_test-equivalent, k=3) — cheap enough to ride
+    # along; failures here must not lose the headline NTT number
+    try:
+        from sha2cq_tpu.curves import host as CH
+        nm = 1 << 14
+        sc = [int.from_bytes(rng.bytes(8), "little") for _ in range(nm)]
+        pts = [CH.g1_mul(CH.G1_GEN, i + 2) for i in range(64)] * (nm // 64)
+        from sha2cq_tpu.ops import msm as M
+        t0 = time.perf_counter()
+        M.msm(sc, pts)
+        extra["msm_host_2e14_s"] = round(time.perf_counter() - t0, 4)
+    except Exception as e:  # pragma: no cover
+        extra["msm_host_error"] = repr(e)[:120]
+
+    try:
+        import random as _random
+        import tests.test_e2e_cq as E
+        from sha2cq_tpu.plonk import (create_proof, keygen_pk, keygen_vk,
+                                      verify_proof)
+        from sha2cq_tpu.poly.kzg.strategy import AccumulatorStrategy
+        from sha2cq_tpu.utils.transcript import Blake2bRead
+        prng, srs, t1, t2, params, configs, b0 = E._setup(3)
+        circuit = E.MyCircuit(t1, t2)
+        vk = keygen_vk(params, circuit)
+        pk = keygen_pk(params, configs, b0, vk, circuit)
+        t0 = time.perf_counter()
+        proof = create_proof(params, pk, [circuit], [[]], rng=prng)
+        t1s = time.perf_counter()
+        ok = verify_proof(params, vk, AccumulatorStrategy(params, rng=prng),
+                          [[]], Blake2bRead(proof)).check()
+        extra["e2e_cq_prove_s"] = round(t1s - t0, 4)
+        extra["e2e_cq_verify_s"] = round(time.perf_counter() - t1s, 4)
+        extra["e2e_cq_verified"] = bool(ok)
+    except Exception as e:  # pragma: no cover
+        extra["e2e_cq_error"] = repr(e)[:120]
+
+    signal.alarm(0)
     print(json.dumps({
         "metric": f"ntt_2e{K}_seconds",
         "value": round(dt, 6),
         "unit": "s",
         "vs_baseline": round(BASELINE_BEST_FFT_S / dt, 3),
-        "extra": {"first_call_s": round(warm_s, 3), "path": "mxu_int8_matmul"},
+        "extra": extra,
     }))
 
 

@@ -161,6 +161,10 @@ def jac_to_affine(p) -> G1Affine:
     X, Y, Z = p
     if Z == 0:
         return None
+    from ..native_loader import native_jac_to_affine
+    out = native_jac_to_affine(p)
+    if out is not None:
+        return None if out == (None,) else out
     zi = inv_mod(Z, P)
     zi2 = zi * zi % P
     return (X * zi2 % P, Y * zi2 % P * zi % P)

@@ -76,6 +76,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fr_batch_inv.argtypes = [U64P, ctypes.c_long]
         lib.bn_pairing_check.argtypes = [U64P, U64P, ctypes.c_long, U64P]
         lib.bn_pairing_check.restype = ctypes.c_int
+        lib.fq_sqrt_batch.argtypes = [U64P, ctypes.c_long, U64P]
+        lib.g1_jac_to_affine_batch.argtypes = [U64P, ctypes.c_long, U64P]
         _lib = lib
         return lib
     except OSError:
@@ -469,3 +471,30 @@ def native_pairing_check(pairs, want_fq12: bool = False):
     f = ((tuple(coeffs[0:2]), tuple(coeffs[2:4]), tuple(coeffs[4:6])),
          (tuple(coeffs[6:8]), tuple(coeffs[8:10]), tuple(coeffs[10:12])))
     return ok, f
+
+
+def native_fq_sqrt(x: int):
+    """Candidate sqrt of x mod q via x^((q+1)/4) (q = 3 mod 4); caller must
+    check cand^2 == x (non-residues yield a wrong value, not an error).
+    None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xs = (ctypes.c_uint64 * 4)(*_u64s(x))
+    ys = (ctypes.c_uint64 * 4)()
+    lib.fq_sqrt_batch(xs, ctypes.c_long(1), ys)
+    return _from_u64s(ys, 0)
+
+
+def native_jac_to_affine(point_jac):
+    """Single Jacobian -> affine (native inversion); None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pin = _pack_jac([point_jac])
+    out = (ctypes.c_uint64 * 8)()
+    lib.g1_jac_to_affine_batch(pin, ctypes.c_long(1), out)
+    x, y = _from_u64s(out, 0), _from_u64s(out, 4)
+    if x == 0 and y == 0:
+        return (None,)  # wrapped identity so callers can distinguish from miss
+    return (x, y)

@@ -63,7 +63,16 @@ def g1_from_bytes(b: bytes) -> G1Affine:
     x = fq_from_bytes(bytes(tmp))
     if x == 0 and ysign == 0:
         return None
-    y = sqrt_mod((x * x * x + G1_B) % FQ_MOD, FQ_MOD)
+    rhs = (x * x * x + G1_B) % FQ_MOD
+    # native x^((q+1)/4) candidate (one C exponentiation) replaces the two
+    # Python pows (Legendre + sqrt) of sqrt_mod; non-residues surface as a
+    # failed square check
+    from ..native_loader import native_fq_sqrt
+    y = native_fq_sqrt(rhs)
+    if y is not None and y * y % FQ_MOD != rhs:
+        y = None
+    elif y is None:
+        y = sqrt_mod(rhs, FQ_MOD)
     if y is None:
         raise ValueError("invalid point encoding: x not on curve")
     if (y & 1) != ysign:

@@ -96,3 +96,36 @@ def test_msm_batch_affine_large_window():
     a = M.msm(sc[:k], pts[:k])
     b = M.msm(sc[k:], pts[k:])
     assert whole == CH.g1_add(a, b)
+
+
+def test_glv_scalar_mul_matches_double_and_add():
+    """GLV (endomorphism-split) scalar mul must equal the plain
+    double-and-add export for edge and random scalars; the FK group NTT and
+    batch scalar muls route through it."""
+    import ctypes
+    import random
+
+    from sha2cq_tpu import native_loader as NL
+    from sha2cq_tpu.curves import host as CH
+    from sha2cq_tpu.fields import host as F
+
+    lib = NL.get_lib()
+    if lib is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    lib.g1_scalar_mul_glv.argtypes = [ctypes.POINTER(ctypes.c_uint64)] * 3
+
+    rng = random.Random(99)
+    cases = [0, 1, 2, F.FR_MOD - 1, F.FR_MOD - 2, (1 << 128) - 1, 1 << 128]
+    cases += [rng.randrange(F.FR_MOD) for _ in range(20)]
+    P = CH.g1_mul(CH.G1_GEN, 987654321)
+    pj = NL._pack_jac([(P[0], P[1], 1)])
+    for k in cases:
+        sc = (ctypes.c_uint64 * 4)(*NL._u64s(k))
+        o1 = (ctypes.c_uint64 * 12)()
+        o2 = (ctypes.c_uint64 * 12)()
+        lib.g1_scalar_mul(pj, sc, o1)
+        lib.g1_scalar_mul_glv(pj, sc, o2)
+        a1 = CH.jac_to_affine(NL._unpack_jac(o1))
+        a2 = CH.jac_to_affine(NL._unpack_jac(o2))
+        assert a1 == a2, f"GLV mismatch at k={k:#x}"

@@ -339,3 +339,38 @@ def fq12_frob(a, power: int = 1):
 
 def fq12_is_one(a) -> bool:
     return a == FQ12_ONE
+
+
+def fq2_sqrt(a):
+    """Square root in Fq2 = Fq[u]/(u^2+1) for q = 3 mod 4, or None.
+
+    Algorithm (complex method): with n = a0^2 + a1^2 = Norm(a), a square
+    root x = x0 + x1 u satisfies x0^2 = (a0 + s)/2 or (a0 - s)/2 for
+    s = sqrt(n), and x1 = a1 / (2 x0); a is a square iff n is a square in
+    Fq and one of the two candidates for x0^2 is.  Mirrors the reference's
+    Fq2::sqrt (curves/src/bn256/fq2.rs)."""
+    a0, a1 = a[0] % FQ_MOD, a[1] % FQ_MOD
+    if a1 == 0:
+        s = sqrt_mod(a0, FQ_MOD)
+        if s is not None:
+            return (s, 0)
+        # a0 is a non-residue: sqrt(a0) = sqrt(-a0) * u  (since u^2 = -1)
+        s = sqrt_mod((-a0) % FQ_MOD, FQ_MOD)
+        return None if s is None else (0, s)
+    n = (a0 * a0 + a1 * a1) % FQ_MOD
+    s = sqrt_mod(n, FQ_MOD)
+    if s is None:
+        return None
+    inv2 = inv_mod(2, FQ_MOD)
+    d = (a0 + s) * inv2 % FQ_MOD
+    x0 = sqrt_mod(d, FQ_MOD)
+    if x0 is None:
+        d = (a0 - s) * inv2 % FQ_MOD
+        x0 = sqrt_mod(d, FQ_MOD)
+        if x0 is None:
+            return None
+    x1 = a1 * inv_mod(2 * x0 % FQ_MOD, FQ_MOD) % FQ_MOD
+    x = (x0, x1)
+    if fq2_mul(x, x) != (a0, a1):
+        return None
+    return x

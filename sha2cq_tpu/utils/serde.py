@@ -132,3 +132,36 @@ def g2_from_raw_bytes(b: bytes, check: bool = True, subgroup_check: bool = False
         if g2_mul(pt, FR_MOD) is not None:
             raise ValueError("G2 point not in the r-torsion subgroup")
     return pt
+
+
+def g2_to_bytes(pt) -> bytes:
+    """Compressed G2 (64 B): x.c0 || x.c1 LE with y.c0's parity in bit 7 of
+    the last byte — the reference's GroupEncoding convention
+    (derive/curve.rs:635-643: sign = y.to_bytes()[0] & 1)."""
+    if pt is None:
+        return bytes(64)
+    (x0, x1), (y0, _y1) = pt
+    b = bytearray(fq_to_bytes(x0) + fq_to_bytes(x1))
+    b[63] |= (y0 & 1) << 7
+    return bytes(b)
+
+
+def g2_from_bytes(b: bytes):
+    """Decompress; raises on x not on curve (mirrors from_bytes,
+    derive/curve.rs:606-625)."""
+    from ..fields.host import fq2_add, fq2_mul, fq2_neg, fq2_sqrt
+    from ..curves.host import G2_B
+    assert len(b) == 64
+    tmp = bytearray(b)
+    ysign = tmp[63] >> 7
+    tmp[63] &= 0x7F
+    x = (fq_from_bytes(bytes(tmp[:32])), fq_from_bytes(bytes(tmp[32:])))
+    if x == (0, 0) and ysign == 0:
+        return None
+    rhs = fq2_add(fq2_mul(fq2_mul(x, x), x), G2_B)
+    y = fq2_sqrt(rhs)
+    if y is None:
+        raise ValueError("invalid G2 encoding: x not on curve")
+    if (y[0] & 1) != ysign:
+        y = fq2_neg(y)
+    return (x, y)

@@ -67,3 +67,43 @@ def test_transcript_domain_separation():
     w2 = Blake2bWrite()
     w2.common_scalar(7)
     assert w1.squeeze_challenge() != w2.squeeze_challenge()
+
+
+def test_g2_compressed_roundtrip():
+    """Compressed G2 (64 B, reference GroupEncoding convention): random
+    points round-trip, identity maps to zeros, corrupted x rejects."""
+    import random
+
+    import pytest
+
+    from sha2cq_tpu.curves import host as CH
+    from sha2cq_tpu.fields import host as F
+    from sha2cq_tpu.utils import serde
+
+    rng = random.Random(77)
+    for _ in range(8):
+        P = CH.g2_mul(CH.G2_GEN, rng.randrange(1, F.FR_MOD))
+        assert serde.g2_from_bytes(serde.g2_to_bytes(P)) == P
+    assert serde.g2_to_bytes(None) == bytes(64)
+    assert serde.g2_from_bytes(bytes(64)) is None
+    bad = bytearray(serde.g2_to_bytes(CH.G2_GEN))
+    bad[0] ^= 1
+    with pytest.raises(ValueError):
+        serde.g2_from_bytes(bytes(bad))
+
+
+def test_fq2_sqrt_laws():
+    """fq2_sqrt: sqrt(x^2) in {x, -x}; non-residues return None and exactly
+    half of random elements are squares (probabilistic sanity)."""
+    import random
+
+    from sha2cq_tpu.fields import host as F
+
+    rng = random.Random(78)
+    for _ in range(10):
+        x = (rng.randrange(F.FQ_MOD), rng.randrange(F.FQ_MOD))
+        s = F.fq2_sqrt(F.fq2_mul(x, x))
+        assert s in (x, F.fq2_neg(x))
+    hits = sum(F.fq2_sqrt((rng.randrange(F.FQ_MOD), rng.randrange(F.FQ_MOD)))
+               is not None for _ in range(60))
+    assert 15 <= hits <= 45

@@ -127,3 +127,117 @@ class Blake2bRead:
 
     def done(self) -> bool:
         return self._pos == len(self._proof)
+
+
+# --------------------------- Poseidon transcript -----------------------------
+#
+# Algebraic (SNARK-friendly) Fiat-Shamir: the reference ships Poseidon as an
+# orphan crate and never wires it up (SURVEY "orphan layers"); here it is a
+# drop-in transcript pair for recursion work, where a verifier circuit must
+# re-derive challenges with a few constraints instead of a Blake2b circuit.
+#
+# Absorption layout (all Fr elements):
+#   point  -> 4 limbs: x_lo, x_hi, y_lo, y_hi (128-bit split of each Fq
+#             coordinate; identity = 4 zeros)
+#   scalar -> 1 element
+# Challenges are chained sponge evaluations
+#   chain = Poseidon(chain, n_squeezes, absorbed-since-last-squeeze...)
+# so every challenge binds the full history and consecutive squeezes with no
+# intervening writes still differ.  Proof BYTES are identical to the Blake2b
+# transcripts (compressed points, LE scalars) — only challenge derivation
+# changes.
+
+_LIMB = (1 << 128) - 1
+
+
+class _PoseidonCore:
+    def __init__(self) -> None:
+        self._chain = 0
+        self._buf: List[int] = []
+        self._n = 0
+
+    def _absorb_point(self, pt) -> None:
+        x, y = pt if pt is not None else (0, 0)
+        self._buf += [x & _LIMB, x >> 128, y & _LIMB, y >> 128]
+
+    def _absorb_scalar(self, s: int) -> None:
+        self._buf.append(s % FR_MOD)
+
+    def _squeeze(self) -> int:
+        from ..poseidon import hash_elements
+        self._n += 1
+        self._chain = hash_elements([self._chain, self._n] + self._buf)
+        self._buf = []
+        return self._chain
+
+
+class PoseidonWrite(_PoseidonCore):
+    """Prover transcript with Poseidon challenge derivation."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._proof = bytearray()
+
+    def common_point(self, pt: G1Affine) -> None:
+        self._absorb_point(pt)
+
+    def common_scalar(self, s: int) -> None:
+        self._absorb_scalar(s)
+
+    def write_point(self, pt: G1Affine) -> None:
+        self.common_point(pt)
+        self._proof += serde.g1_to_bytes(pt)
+
+    def write_scalar(self, s: int) -> None:
+        self.common_scalar(s)
+        self._proof += serde.fr_to_bytes(s)
+
+    def squeeze_challenge(self) -> int:
+        return self._squeeze()
+
+    def finalize(self) -> bytes:
+        return bytes(self._proof)
+
+
+class PoseidonRead(_PoseidonCore):
+    """Verifier transcript with Poseidon challenge derivation."""
+
+    def __init__(self, proof: bytes) -> None:
+        super().__init__()
+        self._proof = proof
+        self._pos = 0
+
+    def _take(self, n: int) -> bytes:
+        if self._pos + n > len(self._proof):
+            raise ValueError("proof too short")
+        out = self._proof[self._pos:self._pos + n]
+        self._pos += n
+        return out
+
+    def common_point(self, pt: G1Affine) -> None:
+        self._absorb_point(pt)
+
+    def common_scalar(self, s: int) -> None:
+        self._absorb_scalar(s)
+
+    def read_point(self) -> G1Affine:
+        pt = serde.g1_from_bytes(self._take(32))
+        self.common_point(pt)
+        return pt
+
+    def read_scalar(self) -> int:
+        s = serde.fr_from_bytes(self._take(32))
+        self.common_scalar(s)
+        return s
+
+    def read_n_points(self, n: int) -> List[G1Affine]:
+        return [self.read_point() for _ in range(n)]
+
+    def read_n_scalars(self, n: int) -> List[int]:
+        return [self.read_scalar() for _ in range(n)]
+
+    def squeeze_challenge(self) -> int:
+        return self._squeeze()
+
+    def done(self) -> bool:
+        return self._pos == len(self._proof)

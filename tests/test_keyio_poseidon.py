@@ -102,3 +102,43 @@ def test_table_bundle_roundtrip():
     assert srs2.g1 == srs.g1 and srs2.g2 == srs.g2
     assert srs2.g1_lagrange == srs.g1_lagrange
     assert srs2.g_lagrange_opening_at_0 == srs.g_lagrange_opening_at_0
+
+
+def test_poseidon_transcript_e2e():
+    """Full prove+verify with the algebraic Poseidon transcript (drop-in for
+    Blake2b; proof bytes stay in the same wire format, only challenge
+    derivation changes), and the two transcript families derive different
+    challenges from the same messages."""
+    from sha2cq_tpu.plonk import create_proof, keygen_pk, keygen_vk, verify_proof
+    from sha2cq_tpu.poly.kzg.strategy import AccumulatorStrategy
+    from sha2cq_tpu.utils.transcript import (Blake2bWrite, PoseidonRead,
+                                             PoseidonWrite)
+
+    rng, srs, t1, t2, params, configs, b0 = E._setup(3)
+    circuit = E.MyCircuit(t1, t2)
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, configs, b0, vk, circuit)
+
+    proof = create_proof(params, pk, [circuit], [[]], rng=rng,
+                         transcript=PoseidonWrite())
+    ok = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
+                      [[]], PoseidonRead(proof)).check()
+    assert ok
+
+    # cross-family verification must fail (different challenges)
+    from sha2cq_tpu.utils.transcript import Blake2bRead
+    try:
+        bad = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
+                           [[]], Blake2bRead(proof)).check()
+    except Exception:
+        bad = False
+    assert not bad
+
+    # derivation divergence at the primitive level
+    a, b = PoseidonWrite(), Blake2bWrite()
+    for t in (a, b):
+        t.common_scalar(7)
+    assert a.squeeze_challenge() != b.squeeze_challenge()
+    # consecutive squeezes with no absorption differ
+    p = PoseidonWrite()
+    assert p.squeeze_challenge() != p.squeeze_challenge()

@@ -12,8 +12,13 @@ Like the reference, reading a key requires the circuit (configure() is
 re-run to rebuild the constraint system); the byte payload carries only
 what cannot be re-derived.
 
-Format: little-endian u32 length prefixes; scalars 32B LE; G1 points 64B
-raw affine (x||y, zero = identity); G2 points 128B raw.
+Formats (SerdeFormat parity, helpers.rs:8-19): every artifact starts with a
+1-byte format tag —
+  0 = RawBytes          (64B/128B uncompressed points, on-curve validated)
+  1 = RawBytesUnchecked (same bytes, no validation — trusted-source fast path)
+  2 = Processed         (32B/64B compressed points; decompression is
+                         inherently on-curve validating)
+plus little-endian u32 length prefixes and 32B LE scalars throughout.
 """
 from __future__ import annotations
 
@@ -33,9 +38,16 @@ from ..poly.kzg.params import ParamsKZG
 from . import serde
 
 
+FMT_RAW, FMT_RAW_UNCHECKED, FMT_PROCESSED = 0, 1, 2
+_FMT_NAMES = {"raw": FMT_RAW, "raw_unchecked": FMT_RAW_UNCHECKED,
+              "processed": FMT_PROCESSED}
+
+
 class _W:
-    def __init__(self):
+    def __init__(self, fmt: int = 0):
         self.b = io.BytesIO()
+        self.fmt = fmt
+        self.b.write(bytes([fmt]))
 
     def u32(self, v: int):
         self.b.write(struct.pack("<I", v))
@@ -44,10 +56,16 @@ class _W:
         self.b.write(serde.fr_to_bytes(v))
 
     def g1(self, pt: G1Affine):
-        self.b.write(serde.g1_to_raw_bytes(pt))
+        if self.fmt == FMT_PROCESSED:
+            self.b.write(serde.g1_to_bytes(pt))
+        else:
+            self.b.write(serde.g1_to_raw_bytes(pt))
 
     def g2(self, pt: G2Affine):
-        self.b.write(serde.g2_to_raw_bytes(pt))
+        if self.fmt == FMT_PROCESSED:
+            self.b.write(serde.g2_to_bytes(pt))
+        else:
+            self.b.write(serde.g2_to_raw_bytes(pt))
 
     def scalars(self, vs):
         self.u32(len(vs))
@@ -71,6 +89,9 @@ class _W:
 class _R:
     def __init__(self, data: bytes):
         self.b = io.BytesIO(data)
+        self.fmt = self.b.read(1)[0]
+        if self.fmt not in (FMT_RAW, FMT_RAW_UNCHECKED, FMT_PROCESSED):
+            raise ValueError(f"unknown keyio format tag {self.fmt}")
 
     def u32(self) -> int:
         return struct.unpack("<I", self.b.read(4))[0]
@@ -79,10 +100,16 @@ class _R:
         return serde.fr_from_bytes(self.b.read(32))
 
     def g1(self) -> G1Affine:
-        return serde.g1_from_raw_bytes(self.b.read(64))
+        if self.fmt == FMT_PROCESSED:
+            return serde.g1_from_bytes(self.b.read(32))
+        return serde.g1_from_raw_bytes(self.b.read(64),
+                                       check=self.fmt == FMT_RAW)
 
     def g2(self) -> G2Affine:
-        return serde.g2_from_raw_bytes(self.b.read(128))
+        if self.fmt == FMT_PROCESSED:
+            return serde.g2_from_bytes(self.b.read(64))
+        return serde.g2_from_raw_bytes(self.b.read(128),
+                                       check=self.fmt == FMT_RAW)
 
     def scalars(self) -> List[int]:
         return [self.scalar() for _ in range(self.u32())]
@@ -97,8 +124,8 @@ class _R:
 
 # ------------------------------- params -------------------------------------
 
-def write_params(params: ParamsKZG) -> bytes:
-    w = _W()
+def write_params(params: ParamsKZG, fmt: str = "raw") -> bytes:
+    w = _W(_FMT_NAMES[fmt])
     w.u32(params.k)
     w.g1s(params.g)
     w.g1s(params.g_lagrange)
@@ -116,8 +143,8 @@ def read_params(data: bytes) -> ParamsKZG:
 
 # --------------------------------- VK ---------------------------------------
 
-def write_vk(vk: VerifyingKey) -> bytes:
-    w = _W()
+def write_vk(vk: VerifyingKey, fmt: str = "raw") -> bytes:
+    w = _W(_FMT_NAMES[fmt])
     w.u32(vk.domain.k)
     w.u32(vk.cs_degree)
     w.g1s(vk.fixed_commitments)
@@ -163,9 +190,10 @@ def read_vk(data: bytes, circuit) -> VerifyingKey:
 
 # --------------------------------- PK ---------------------------------------
 
-def write_pk(pk: ProvingKey) -> bytes:
-    w = _W()
-    w.b.write(write_vk(pk.vk))
+def write_pk(pk: ProvingKey, fmt: str = "raw") -> bytes:
+    w = _W(_FMT_NAMES[fmt])
+    # embed the VK payload without its redundant inner format tag
+    w.b.write(write_vk(pk.vk, fmt)[1:])
     for field in (pk.l0, pk.l_last, pk.l_active_row):
         w.scalars(field)
     for group in (pk.fixed_values, pk.fixed_polys, pk.fixed_cosets,
@@ -302,9 +330,10 @@ def _read_static_table(r: _R):
     return StaticTable(opened=opened, committed=committed)
 
 
-def write_table_bundle(static_tables, configs, b0_g1_bound, srs) -> bytes:
+def write_table_bundle(static_tables, configs, b0_g1_bound, srs,
+                       fmt: str = "raw") -> bytes:
     """static_tables: {family: {component: StaticTable}} (setup32 layout)."""
-    w = _W()
+    w = _W(_FMT_NAMES[fmt])
     w.u32(len(static_tables))
     for fam, columns in static_tables.items():
         w.string(fam)

@@ -142,3 +142,30 @@ def test_poseidon_transcript_e2e():
     # consecutive squeezes with no absorption differ
     p = PoseidonWrite()
     assert p.squeeze_challenge() != p.squeeze_challenge()
+
+
+def test_keyio_formats():
+    """SerdeFormat parity: processed (compressed) and raw_unchecked formats
+    round-trip to the same keys as raw; processed is strictly smaller."""
+    from sha2cq_tpu.plonk import keygen_pk, keygen_vk
+
+    rng, srs, t1, t2, params, configs, b0 = E._setup(3)
+    circuit = E.MyCircuit(t1, t2)
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, configs, b0, vk, circuit)
+
+    raw = keyio.write_pk(pk, fmt="raw")
+    for fmt in ("processed", "raw_unchecked"):
+        data = keyio.write_pk(pk, fmt=fmt)
+        pk2 = keyio.read_pk(data, circuit)
+        assert pk2.vk.transcript_repr == pk.vk.transcript_repr
+        assert pk2.fixed_values == pk.fixed_values
+        assert pk2.b0_g1_bound == pk.b0_g1_bound
+        for tid in pk.static_table_mapping:
+            assert (pk2.static_table_mapping[tid].qs
+                    == pk.static_table_mapping[tid].qs)
+    assert len(keyio.write_pk(pk, fmt="processed")) < len(raw)
+
+    vraw = keyio.write_vk(vk, fmt="processed")
+    vk2 = keyio.read_vk(vraw, circuit)
+    assert vk2.transcript_repr == vk.transcript_repr

@@ -126,3 +126,24 @@ def test_nonzk_default_untouched():
     ok = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
                       [[]], Blake2bRead(proof)).check()
     assert ok
+
+
+def test_zk_shplonk_multiopen():
+    """zk static lookups compose with the SHPLONK multiopen scheme."""
+    rng, params, circuit, vk, pk = _zk_pk()
+    proof = create_proof(params, pk, [circuit], [[]], rng=rng,
+                         multiopen="shplonk")
+    ok = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
+                      [[]], Blake2bRead(proof), multiopen="shplonk").check()
+    assert ok
+
+
+def test_zk_multi_circuit_proof():
+    """One zk proof over a slice of two circuits (prover.rs:51-60 parity)."""
+    rng, params, circuit, vk, pk = _zk_pk()
+    import tests.test_e2e_cq as E2
+    c2 = ZkCircuit(circuit.table, circuit.table_2)
+    proof = create_proof(params, pk, [circuit, c2], [[], []], rng=rng)
+    ok = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
+                      [[], []], Blake2bRead(proof)).check()
+    assert ok

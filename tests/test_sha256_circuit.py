@@ -107,9 +107,6 @@ def test_sha256_circuit_proof_two_blocks(setup):
     assert batcher.check(), "two-block chained proof failed"
 
 
-@pytest.mark.skipif(os.environ.get("SHA2CQ_SLOW_TESTS") != "1",
-                    reason="32-bit mock is ~minutes of table membership "
-                           "checks; opt in with SHA2CQ_SLOW_TESTS=1")
 def test_sha256_circuit_mock_32bit_single_block():
     """MockProver over the REAL 32-bit scheme (values-only tables — no FK /
     commitments needed for the mock): one full FIPS block, every gate and

@@ -42,6 +42,15 @@ def default_mesh(n_devices: int = None) -> Mesh:
     return Mesh(np.array(devs), axis_names=("x",))
 
 
+def mesh_2d(hosts: int, chips: int) -> Mesh:
+    """Two-level mesh for multi-host topologies: axis "y" = hosts (DCN),
+    axis "x" = chips within a host (ICI).  Shardings that flatten ("y","x")
+    keep neighbor traffic (e.g. the h-VM halo exchanges) on ICI except at
+    host boundaries, matching SURVEY §2.4's multi-node row."""
+    devs = jax.devices()[: hosts * chips]
+    return Mesh(np.array(devs).reshape(hosts, chips), axis_names=("y", "x"))
+
+
 # ------------------------- distributed four-step NTT ------------------------
 
 def _ntt_last_axis(a: jnp.ndarray, twiddles: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -390,6 +390,12 @@ def build_sharded_vm(prog: Program, mesh, size: int):
     nd = mesh.devices.size
     m = size // nd
     S = _program_max_shift(prog)
+    # multi-axis meshes (e.g. ("y","x") = DCN hosts x ICI chips) shard the
+    # row axis over the FLATTENED axes; ppermute over the tuple addresses
+    # the flat lexicographic device index, so neighbor halo traffic stays
+    # on the fastest (last) axis except at outer-axis boundaries
+    axes = tuple(mesh.axis_names)
+    ax = axes if len(axes) > 1 else axes[0]
     fwd = [(i, (i + 1) % nd) for i in range(nd)]
     bwd = [(i, (i - 1) % nd) for i in range(nd)]
     instrs = jnp.asarray(prog.instrs)
@@ -403,16 +409,16 @@ def build_sharded_vm(prog: Program, mesh, size: int):
         if S == 0:
             return col
         if S < m:
-            prev = jax.lax.ppermute(col[..., -S:], "x", fwd)
-            nxt = jax.lax.ppermute(col[..., :S], "x", bwd)
+            prev = jax.lax.ppermute(col[..., -S:], ax, fwd)
+            nxt = jax.lax.ppermute(col[..., :S], ax, bwd)
             return jnp.concatenate([prev, col, nxt], axis=-1)
         p = -(-S // m)
         parts_prev, parts_next = [], []
         cur_prev = cur_next = col
         for _ in range(p):
-            cur_prev = jax.lax.ppermute(cur_prev, "x", fwd)
+            cur_prev = jax.lax.ppermute(cur_prev, ax, fwd)
             parts_prev.insert(0, cur_prev)
-            cur_next = jax.lax.ppermute(cur_next, "x", bwd)
+            cur_next = jax.lax.ppermute(cur_next, ax, bwd)
             parts_next.append(cur_next)
         ext = jnp.concatenate(parts_prev + [col] + parts_next, axis=-1)
         return ext[..., p * m - S: p * m + m + S]
@@ -464,7 +470,7 @@ def build_sharded_vm(prog: Program, mesh, size: int):
         regs, _ = jax.lax.scan(step, regs, instrs)
         return regs
 
-    row = PSpec(None, None, "x")
+    row = PSpec(None, None, axes if len(axes) > 1 else axes[0])
     mapped = jax.shard_map(
         local_run, mesh=mesh,
         in_specs=(row, {k: row for k in
@@ -488,7 +494,9 @@ def run_program_sharded(prog: Program, state: Dict, consts: Dict,
         vm = build_sharded_vm(prog, mesh, size)
         cache[key] = vm
 
-    row = NamedSharding(mesh, PSpec(None, None, "x"))
+    axes = tuple(mesh.axis_names)
+    row = NamedSharding(mesh, PSpec(None, None,
+                                    axes if len(axes) > 1 else axes[0]))
     groups, rt_scal = _build_groups(prog, state, consts, scalars, size)
     groups = {k: jax.device_put(v, row) for k, v in groups.items()}
     regs0 = jax.device_put(

@@ -169,3 +169,55 @@ def test_sharded_h_vm_matches_single_device():
     sharded = np.asarray(jax.device_get(
         h_vm.run_program_sharded(prog, state, consts, scalars, size, mesh)))
     assert (single == sharded).all()
+
+
+def test_sharded_h_vm_2d_mesh():
+    """The sharded VM on a 2-level (hosts x chips) mesh must equal the
+    single-device VM — halo ppermutes address the flattened (y, x) axis."""
+    import random
+
+    import tests.test_plonk_api as PA
+    from sha2cq_tpu.fields.device import NLIMB, U32
+    from sha2cq_tpu.plonk import h_vm, keygen_pk, keygen_vk
+    from sha2cq_tpu.poly.kzg.params import ParamsKZG
+
+    rng = random.Random(31337)
+    params = ParamsKZG.setup_from_toxic_waste(PA.K, rng.randrange(P))
+    a, b = PA._inputs()
+    circuit = PA.ApiCircuit(a, b)
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, {}, [], vk, circuit)
+    prog = h_vm.assemble_h_program(pk)
+
+    cs = pk.vk.cs
+    size = pk.vk.domain.extended_n
+    nprng = np.random.default_rng(7)
+
+    def cols(c):
+        return jnp.asarray(nprng.integers(
+            0, 1 << 16, size=(NLIMB, max(c, 1), size), dtype=np.uint32))
+
+    state = {
+        "advice": cols(cs.num_advice_columns),
+        "instance": cols(cs.num_instance_columns),
+        "z": cols(2),
+        "lk": cols(3 * max(len(cs.lookups), 1)),
+        "st": cols(2 * max(len(cs.static_lookups), 1)),
+    }
+    consts = {
+        "fixed": cols(cs.num_fixed_columns),
+        "sigma": cols(max(len(cs.permutation.columns), 1)),
+        "l0": cols(1)[:, 0], "l_last": cols(1)[:, 0],
+        "l_active": cols(1)[:, 0], "zeta_times_coset": cols(1)[:, 0],
+    }
+    one = D.pack_scalar(1, D.FR).reshape(NLIMB, 1)
+    scalars = {
+        "y": one, "beta": one, "gamma": one, "theta": one,
+        "challenges": jnp.zeros((NLIMB, cs.num_challenges, 1), dtype=U32),
+    }
+    single = np.asarray(jax.device_get(
+        h_vm.run_program(prog, state, consts, scalars, size)))
+    mesh = DIST.mesh_2d(4, 2)
+    sharded = np.asarray(jax.device_get(
+        h_vm.run_program_sharded(prog, state, consts, scalars, size, mesh)))
+    assert (single == sharded).all()

@@ -148,3 +148,28 @@ def test_e2e_rejects_tampered_proof():
         assert not batcher.check(), "tampered proof must not verify"
     except ValueError:
         pass  # rejected while reading — also acceptable
+
+
+def test_golden_proof_bytes_pinned():
+    """Absolute golden vector: a fully seeded my_test-equivalent proof must
+    be byte-stable across refactors.  This pins the entire stack end to end
+    — transcript byte format, pinned-VK hashing (rust-compatible default),
+    challenge derivation, commitment and multiopen math.  If a change is
+    MEANT to alter proof bytes (protocol change, pinned-VK format change),
+    update the constants in the same commit and say why.
+    """
+    import hashlib
+
+    from sha2cq_tpu.plonk import create_proof, keygen_pk, keygen_vk
+
+    rng, srs, t1, t2, params, configs, b0 = _setup(3)
+    circuit = MyCircuit(t1, t2)
+    vk = keygen_vk(params, circuit)
+    assert vk.transcript_repr == int(
+        "0x0829d8d6b5c805772c8a074201361d3cb9b0e942c42f24757232f2f375f32486", 16)
+    pk = keygen_pk(params, configs, b0, vk, circuit)
+    proof = create_proof(params, pk, [circuit], [[]],
+                         rng=random.Random(0x60))
+    assert len(proof) == 608
+    assert hashlib.blake2b(proof, digest_size=16).hexdigest() == \
+        "dccf78dc88329973c36c6defd7990102"

@@ -73,6 +73,10 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
     size = domain.extended_n
     rot_scale = 1 << (domain.extended_k - domain.k)
     if use_mxu is None:
+        # auto: k >= 12 on ANY backend.  XLA:CPU emulates the int8 matmuls
+        # (~150 s of a warm k=13 64-block prove), but the measured
+        # alternative is worse: the uint32 butterfly conversions cost 440 s
+        # on the same prove.  On the TPU both collapse to milliseconds.
         use_mxu = domain.k >= 12
 
     plans = {}

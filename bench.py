@@ -16,7 +16,10 @@ chain of RUNS dependent NTTs closed by one device_get and amortize; the
 first (unamortized) call is reported in "extra" for transparency.
 """
 import json
+import os
 import signal
+import subprocess
+import sys
 import time
 
 K = 18
@@ -24,6 +27,60 @@ RUNS = 20
 BASELINE_BEST_FFT_S = 0.100  # reference-class CPU best_fft at 2^18 (see docstring)
 WATCHDOG_S = 900  # the axon tunnel can hang indefinitely when down; emit
                   # an error JSON line instead of stalling the driver
+PROBE_S = 120     # tunnel liveness probe budget (device claim, no compile)
+
+
+def _tpu_alive() -> bool:
+    """Probe the axon tunnel in a subprocess: jax.devices() hangs forever
+    when the loopback relay (which lives outside this container) is down,
+    so a timed child process is the only reliable health check."""
+    if os.environ.get("JAX_PLATFORMS", "axon") == "cpu":
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "import sys; sys.exit(0 if d else 1)"],
+            timeout=PROBE_S, capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _cpu_fallback() -> None:
+    """Tunnel down: report the native host NTT honestly (extra.backend
+    says so) instead of stalling into the watchdog with a null metric."""
+    import numpy as np
+    from sha2cq_tpu import native_loader as NL
+    from sha2cq_tpu.fields import host as H
+
+    n = 1 << K
+    omega = pow(H.FR_ROOT_OF_UNITY, 1 << (H.FR_S - K), H.FR_MOD)
+    tw = [1]
+    for _ in range(n // 2 - 1):
+        tw.append(tw[-1] * omega % H.FR_MOD)
+    twb = NL.fr_buf(tw)
+    rng = np.random.default_rng(0)
+    vals = [int.from_bytes(rng.bytes(32), "little") % H.FR_MOD
+            for _ in range(n)]
+    buf = NL.fr_buf(vals)
+    NL.native_fr_ntt_buf(buf, twb, K)  # warm caches
+    runs = 5
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        NL.native_fr_ntt_buf(buf, twb, K)
+    dt = (time.perf_counter() - t0) / runs
+    signal.alarm(0)
+    print(json.dumps({
+        "metric": f"ntt_2e{K}_seconds",
+        "value": round(dt, 6),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_BEST_FFT_S / dt, 3),
+        "extra": {"backend": "cpu_fallback_native_c",
+                  "reason": "axon tunnel down (device probe timed out); "
+                            "TPU MXU path measured 7.15 ms when live "
+                            "(BASELINE.md round 2)"},
+    }))
 
 
 def _watchdog(signum, frame):
@@ -39,6 +96,9 @@ def _watchdog(signum, frame):
 def main() -> None:
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_S)
+    if not _tpu_alive():
+        _cpu_fallback()
+        return
     import numpy as np
     import jax
     from sha2cq_tpu.fields import device as D, host as H

@@ -267,9 +267,9 @@ def _canonicalize(a: jnp.ndarray, ctx) -> jnp.ndarray:
     return D.mont_mul(a, r, ctx)
 
 
-def _dft_matmul(a: jnp.ndarray, mat: jnp.ndarray, rowsum: jnp.ndarray,
-                ctx) -> jnp.ndarray:
-    """Single-matmul DFT over axis 1 of (16, m, B); output relaxed limbs."""
+def _dft_planes(a: jnp.ndarray, mat: jnp.ndarray, rowsum: jnp.ndarray):
+    """The int8 matmul core: (16, m, B) limbs -> (32, m, B) nonneg digit
+    planes (offset corrections applied)."""
     m, B = a.shape[1], a.shape[2]
     XB = _to_digit_cols(a)                           # (32m, B) int8
     S_x = jnp.sum(XB.astype(jnp.int32), axis=0)      # (B,)
@@ -277,7 +277,23 @@ def _dft_matmul(a: jnp.ndarray, mat: jnp.ndarray, rowsum: jnp.ndarray,
                              preferred_element_type=jnp.int32)
     K = m * NDIG
     O = MM + 128 * rowsum[:, None] + 128 * S_x[None, :] + 128 * 128 * K
-    return _planes_to_limbs(O.reshape(NDIG, m, B), ctx)
+    return O.reshape(NDIG, m, B)
+
+
+def _dft_matmul(a: jnp.ndarray, mat: jnp.ndarray, rowsum: jnp.ndarray,
+                ctx) -> jnp.ndarray:
+    """Single-matmul DFT over axis 1 of (16, m, B); output relaxed limbs."""
+    return _planes_to_limbs(_dft_planes(a, mat, rowsum), ctx)
+
+
+def _dft_matmul_mult(a: jnp.ndarray, mat: jnp.ndarray, rowsum: jnp.ndarray,
+                     ctx, mult: jnp.ndarray, mult_is_tile: bool) -> jnp.ndarray:
+    """DFT + fused epilogue: planes -> limbs -> Montgomery-multiply by `mult`
+    in ONE Pallas pass per VMEM tile (ops/pallas_field.planes_to_limbs_mul).
+    Output is canonical.  Caller must have checked PF.epilogue_supported."""
+    from . import pallas_field as PF
+    return PF.planes_to_limbs_mul(_dft_planes(a, mat, rowsum), mult, ctx,
+                                  mult_is_tile)
 
 
 def _dft_small(a: jnp.ndarray, omega: int, ctx) -> jnp.ndarray:
@@ -305,25 +321,49 @@ def _dft_small(a: jnp.ndarray, omega: int, ctx) -> jnp.ndarray:
 
 
 def _dft_axis1(a: jnp.ndarray, plan: NttPlan, level: int, ctx,
-               max_m: int, res_omega=None) -> jnp.ndarray:
-    """DFT over axis 1 (size m) of a (16, m, B) limb array; relaxed output.
+               max_m: int, res_omega=None, scale=None) -> jnp.ndarray:
+    """DFT over axis 1 (size m) of a (16, m, B) limb array.
     level indexes plan.twiddles; the last level uses the residual matrix
-    (or VPU butterflies when res_omega is given and m is tiny)."""
+    (or VPU butterflies when res_omega is given and m is tiny).
+
+    scale: optional (16, 1) Montgomery scalar consumed at the residual
+    level (fused into the epilogue where Pallas supports the tile shape).
+    With scale given the output is CANONICAL (= mont_mul(relaxed, scale));
+    without it the output is relaxed (< 2^256)."""
+    from . import pallas_field as PF
     m, B = a.shape[1], a.shape[2]
     if level == len(plan.twiddles):
         if res_omega is not None:
-            return _dft_small(a, res_omega, ctx)
-        return _dft_matmul(a, plan.res_mat, plan.res_rowsum, ctx)
+            out = _dft_small(a, res_omega, ctx)
+            if scale is not None:
+                out = D.mont_mul(out, scale.reshape(NLIMB, 1, 1), ctx)
+            return out
+        if scale is not None and PF.epilogue_supported(m, B):
+            return _dft_matmul_mult(
+                a, plan.res_mat, plan.res_rowsum, ctx,
+                PF.broadcast_scalar_block(scale, B), mult_is_tile=False)
+        out = _dft_matmul(a, plan.res_mat, plan.res_rowsum, ctx)
+        if scale is not None:
+            out = D.mont_mul(out, scale.reshape(NLIMB, 1, 1), ctx)
+        return out
     m2 = max_m
     m1 = m // m2
     # t = t1 + m1*t2  ->  axes [t2, t1]
     a = a.reshape(NLIMB, m2, m1 * B)
-    f = _dft_matmul(a, plan.base_mat, plan.base_rowsum, ctx)  # [k2, t1]
-    f = f.reshape(NLIMB, m2, m1, B)
-    tw = plan.twiddles[level][..., None]                      # (16, m2, m1, 1)
-    f = D.mont_mul(f, tw, ctx)                                # canonical < p
+    tw = plan.twiddles[level]                                 # (16, m2, m1)
+    if PF.epilogue_supported(m2, m1 * B):
+        mult = tw if B == 1 else jnp.broadcast_to(
+            tw[..., None], (NLIMB, m2, m1, B)).reshape(NLIMB, m2, m1 * B)
+        f = _dft_matmul_mult(a, plan.base_mat, plan.base_rowsum, ctx,
+                             mult, mult_is_tile=True)         # canonical < p
+        f = f.reshape(NLIMB, m2, m1, B)
+    else:
+        f = _dft_matmul(a, plan.base_mat, plan.base_rowsum, ctx)  # [k2, t1]
+        f = f.reshape(NLIMB, m2, m1, B)
+        f = D.mont_mul(f, tw[..., None], ctx)                 # canonical < p
     f = jnp.transpose(f, (0, 2, 1, 3)).reshape(NLIMB, m1, m2 * B)
-    g = _dft_axis1(f, plan, level + 1, ctx, max_m, res_omega)  # [k1, (k2, B)]
+    g = _dft_axis1(f, plan, level + 1, ctx, max_m, res_omega,
+                   scale)                                      # [k1, (k2, B)]
     return g.reshape(NLIMB, m1 * m2, B)                       # k = k1*m2 + k2
 
 
@@ -332,8 +372,10 @@ def _mxu_ntt_jit(a: jnp.ndarray, plan: NttPlan, max_m: int,
                  p_name: str, res_omega) -> jnp.ndarray:
     ctx = FR if p_name == "Fr" else D.FQ
     n = a.shape[1]
-    out = _dft_axis1(a.reshape(NLIMB, n, 1), plan, 0, ctx, max_m, res_omega)
-    return _canonicalize(out.reshape(NLIMB, n), ctx)
+    one = jnp.asarray(ctx.r_limbs, dtype=D.U32).reshape(NLIMB, 1)
+    out = _dft_axis1(a.reshape(NLIMB, n, 1), plan, 0, ctx, max_m, res_omega,
+                     scale=one)
+    return out.reshape(NLIMB, n)
 
 
 def mxu_ntt(a: jnp.ndarray, omega: int, k: int, max_m: int = MAX_MATMUL,
@@ -344,21 +386,31 @@ def mxu_ntt(a: jnp.ndarray, omega: int, k: int, max_m: int = MAX_MATMUL,
     return _mxu_ntt_jit(a, plan, max_m, ctx.name, res_omega)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _mxu_intt_jit(a, plan, max_m, p_name, res_omega, divisor_inv):
+    ctx = FR if p_name == "Fr" else D.FQ
+    n = a.shape[1]
+    # mont_mul(relaxed, d) both reduces mod p AND applies 1/n in one pass —
+    # identical to canonicalize-then-scale (x·R·R⁻¹·d·R⁻¹ == x·d·R⁻¹).
+    d = D.pack_scalar(divisor_inv, ctx).reshape(NLIMB, 1)
+    out = _dft_axis1(a.reshape(NLIMB, n, 1), plan, 0, ctx, max_m, res_omega,
+                     scale=d)
+    return out.reshape(NLIMB, n)
+
+
 def mxu_intt(a: jnp.ndarray, omega_inv: int, k: int, divisor_inv: int,
              max_m: int = MAX_MATMUL, ctx=FR) -> jnp.ndarray:
     """Inverse NTT: evals -> coeffs scaled by divisor_inv (= 1/n)."""
     plan, res_omega = get_plan(1 << k, omega_inv % ctx.p, ctx.name, max_m)
-    out = _mxu_ntt_jit(a, plan, max_m, ctx.name, res_omega)
-    d = D.pack_scalar(divisor_inv, ctx).reshape(NLIMB, 1)
-    return D.mont_mul(out, d, ctx)
+    return _mxu_intt_jit(a, plan, max_m, ctx.name, res_omega,
+                         divisor_inv % ctx.p)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _mxu_batch_scaled_jit(a, plan, res_omega, p_name, divisor_inv):
     ctx = FR if p_name == "Fr" else D.FQ
-    out = mxu_ntt_batch(a, plan, res_omega, ctx)
-    d = D.pack_scalar(divisor_inv, ctx).reshape(NLIMB, 1, 1)
-    return D.mont_mul(out, d, ctx)
+    d = D.pack_scalar(divisor_inv, ctx).reshape(NLIMB, 1)
+    return mxu_ntt_batch(a, plan, res_omega, ctx, scale=d)
 
 
 def mxu_lagrange_to_coeff_batch(a: jnp.ndarray, omega_inv: int, k: int,
@@ -369,7 +421,8 @@ def mxu_lagrange_to_coeff_batch(a: jnp.ndarray, omega_inv: int, k: int,
 
 
 def mxu_ntt_batch(a: jnp.ndarray, plan: NttPlan, res_omega, ctx=FR,
-                  max_m: int = MAX_MATMUL, chunk: int = 16) -> jnp.ndarray:
+                  max_m: int = MAX_MATMUL, chunk: int = 16,
+                  scale=None) -> jnp.ndarray:
     """Batched forward NTT over the LAST axis of a (16, C, n) limb array.
 
     Trace-safe inside an enclosing jit (the plan travels as a pytree of
@@ -381,12 +434,13 @@ def mxu_ntt_batch(a: jnp.ndarray, plan: NttPlan, res_omega, ctx=FR,
     C, n = a.shape[1], a.shape[2]
     if C == 0:
         return a
+    if scale is None:
+        scale = jnp.asarray(ctx.r_limbs, dtype=D.U32).reshape(NLIMB, 1)
     outs = []
     for lo in range(0, C, chunk):
         blk = a[:, lo:lo + chunk]
         cb = blk.shape[1]
         at = jnp.transpose(blk, (0, 2, 1))              # (16, n, cb)
-        f = _dft_axis1(at, plan, 0, ctx, max_m, res_omega)
-        f = _canonicalize(f, ctx)
+        f = _dft_axis1(at, plan, 0, ctx, max_m, res_omega, scale=scale)
         outs.append(jnp.transpose(f, (0, 2, 1)))
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]

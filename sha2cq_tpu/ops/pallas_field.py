@@ -83,3 +83,137 @@ def pallas_mont_mul(a: jnp.ndarray, b: jnp.ndarray, ctx=FR) -> jnp.ndarray:
         in_specs=[spec, spec],
         out_specs=spec,
     )(a, b)
+
+
+# ------------- fused MXU-NTT epilogue: digit planes -> limbs -> x tw --------
+#
+# The matmul-NTT (ops/mxu_ntt.py) spends ~60% of its wall-clock OUTSIDE the
+# int8 systolic matmuls: regrouping the 32 int32 digit planes into 16-bit
+# limbs (carry sweeps + 2^256-excess folds) and the per-level twiddle
+# Montgomery multiply are separate VPU passes, each round-tripping the
+# (16, n) state through HBM.  This kernel fuses them: one grid step owns a
+# (32, BM, BX) plane tile in VMEM, regroups it to limbs, and Montgomery-
+# multiplies by the matching twiddle tile before a single canonical write.
+# The residual NTT level passes a broadcast scalar instead of twiddles
+# (Montgomery-one to canonicalize, or 1/n for the inverse transform), so the
+# final `_canonicalize` pass disappears as well.
+#
+# Matches mxu_ntt._planes_to_limbs + fields.device.mont_mul bit-for-bit
+# (asserted on TPU in tests/test_mxu_ntt.py's equivalence suite via the
+# byte-identical NTT outputs).
+
+_NDIG = 32
+
+
+def _sweep_cols(cols):
+    out = []
+    carry = jnp.zeros_like(cols[0])
+    for j in range(NLIMB):
+        v = cols[j] + carry
+        out.append(v & D.MASK)
+        carry = v >> D.LIMB_BITS
+    return out, carry
+
+
+def _planes_to_limbs_cols(planes, ctx):
+    """List-form mirror of mxu_ntt._planes_to_limbs (no .at[] updates, which
+    Pallas TPU cannot lower).  planes: 32 uint32 arrays; returns 16 limb
+    columns in the relaxed (< 2^256) representation.  See the overflow
+    discipline note in mxu_ntt._planes_to_limbs."""
+    import numpy as np
+    MASKc, LB = D.MASK, D.LIMB_BITS
+    # byte columns C_q = sum_u (plane[q-u] >> 8u) & 0xFF
+    C = []
+    for q in range(_NDIG + 4):
+        acc = None
+        for u in range(4):
+            pi = q - u
+            if 0 <= pi < _NDIG:
+                v = (planes[pi] >> (8 * u)) & 0xFF
+                acc = v if acc is None else acc + v
+        C.append(acc)
+    cols = [C[2 * t] + (C[2 * t + 1] << 8) for t in range(NLIMB)]
+    p = ctx.p
+    excess = jnp.zeros_like(cols[0])
+    for qi, q in enumerate((32, 33, 34)):
+        h = C[_NDIG + qi]
+        kq = (1 << (8 * q)) % p
+        for j in range(NLIMB):
+            prod = h * np.uint32((kq >> (LB * j)) & MASKc)
+            cols[j] = cols[j] + (prod & MASKc)
+            if j + 1 < NLIMB:
+                cols[j + 1] = cols[j + 1] + (prod >> LB)
+            else:
+                excess = excess + (prod >> LB)
+    limbs, carry = _sweep_cols(cols)
+    excess = excess + carry
+    for _ in range(5):
+        cols = list(limbs)
+        nxt = None
+        for j in range(NLIMB):
+            prod = excess * np.uint32((ctx.r >> (LB * j)) & MASKc)
+            cols[j] = cols[j] + (prod & MASKc)
+            if j + 1 < NLIMB:
+                cols[j + 1] = cols[j + 1] + (prod >> LB)
+            else:
+                nxt = prod >> LB
+        limbs, carry = _sweep_cols(cols)
+        excess = nxt + carry
+    return limbs
+
+
+def _epilogue_kernel(ctx):
+    def kernel(o_ref, m_ref, out_ref):
+        planes = [o_ref[i].astype(jnp.uint32) for i in range(_NDIG)]
+        limbs = jnp.stack(_planes_to_limbs_cols(planes, ctx))
+        out_ref[...] = _mont_mul_cols(limbs, m_ref[...], ctx)
+    return kernel
+
+
+def _pick_bx(x: int) -> int:
+    for bx in (512, 256, 128):
+        if x % bx == 0:
+            return bx
+    return 0
+
+
+def epilogue_supported(m: int, x: int) -> bool:
+    return (_HAVE_PALLAS and m % 8 == 0 and _pick_bx(x) != 0
+            and jax.default_backend() in ("tpu", "axon"))
+
+
+def planes_to_limbs_mul(O: jnp.ndarray, mult: jnp.ndarray, ctx=FR,
+                        mult_is_tile: bool = True) -> jnp.ndarray:
+    """(32, M, X) int32 digit planes -> (16, M, X) canonical Montgomery limbs,
+    multiplied by `mult` on the way out.
+
+    mult_is_tile=True: mult is (16, M, X) (per-element twiddles).
+    mult_is_tile=False: mult is (16, BM, BX) — one broadcast block reused by
+    every grid step (scalar multiplier, e.g. Montgomery-one or 1/n)."""
+    M, X = O.shape[1], O.shape[2]
+    BM, BX = 8, _pick_bx(X)
+    grid = (M // BM, X // BX)
+    o_spec = pl.BlockSpec((_NDIG, BM, BX), lambda i, j: (0, i, j),
+                          memory_space=pltpu.VMEM)
+    if mult_is_tile:
+        m_spec = pl.BlockSpec((NLIMB, BM, BX), lambda i, j: (0, i, j),
+                              memory_space=pltpu.VMEM)
+    else:
+        m_spec = pl.BlockSpec((NLIMB, BM, BX), lambda i, j: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((NLIMB, BM, BX), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _epilogue_kernel(ctx),
+        out_shape=jax.ShapeDtypeStruct((NLIMB, M, X), jnp.uint32),
+        grid=grid,
+        in_specs=[o_spec, m_spec],
+        out_specs=out_spec,
+    )(O, mult)
+
+
+def broadcast_scalar_block(scalar_limbs: jnp.ndarray, x: int) -> jnp.ndarray:
+    """(16,)- or (16,1)-shaped Montgomery scalar -> one (16, 8, BX) block for
+    planes_to_limbs_mul(mult_is_tile=False)."""
+    bx = _pick_bx(x)
+    return jnp.broadcast_to(scalar_limbs.reshape(NLIMB, 1, 1), (NLIMB, 8, bx))

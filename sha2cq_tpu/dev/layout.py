@@ -141,6 +141,23 @@ def render_svg(k: int, circuit, path: Optional[str] = None,
     return svg
 
 
+def dot_graph(k: int, circuit) -> str:
+    """Region graph in Graphviz dot format (reference dev/graph.rs:
+    the gadget/region tree rendered via tabbycat).  Our layouter has a flat
+    region list, so the graph is circuit -> region nodes, each labeled with
+    its name and row extent."""
+    _, cap = capture_layout(k, circuit)
+    lines = ["digraph circuit {", '  root [label="circuit", shape=box];']
+    for ridx, region in enumerate(cap.regions):
+        rows = [r for _, _, r in region["cells"]]
+        label = html.escape(region["name"][:32])
+        lines.append(
+            f'  r{ridx} [label="{label}\\nrows {min(rows)}..{max(rows)}"];')
+        lines.append(f"  root -> r{ridx};")
+    lines.append("}")
+    return "\n".join(lines)
+
+
 def render_text(k: int, circuit, max_rows: int = 64) -> str:
     """Compact textual occupancy grid: '.' empty, 'a'/'f'/'i' assigned."""
     cs, cap = capture_layout(k, circuit)

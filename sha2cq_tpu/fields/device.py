@@ -80,12 +80,34 @@ def pack(values: Sequence[int], ctx: FieldCtx, mont: bool = True) -> jnp.ndarray
     return jnp.asarray(np_pack(values, ctx, mont=mont))
 
 
+def _native_lib(ctx: FieldCtx, n: int):
+    """The OpenMP C kernels (native/fieldops.c) when usable for this field:
+    the Python big-int Montgomery conversions are the device prover's main
+    host-side overhead (h_pack_inputs/h_unpack ~0.4 s at k=14), so pack/
+    unpack route the per-element modmul through fr_vec_scale."""
+    if ctx.name != "Fr" or n < 256:
+        return None
+    try:
+        from .. import native_loader as NL
+        return NL if NL.get_lib() is not None else None
+    except Exception:  # pragma: no cover
+        return None
+
+
 def unpack(arr, ctx: FieldCtx, mont: bool = True) -> list:
-    """uint32[16, *batch] -> list of ints (flattened batch, C order).
-    Limb folding is vectorized over a numpy object array (Python-loop-free
-    up to the final modmul)."""
+    """uint32[16, *batch] -> list of ints (flattened batch, C order)."""
     a = np.asarray(jax.device_get(arr)).reshape(NLIMB, -1)
-    acc = np.zeros(a.shape[1], dtype=object)
+    n = a.shape[1]
+    NL = _native_lib(ctx, n)
+    if NL is not None:
+        # (16, n) uint32 16-bit limbs -> (n, 4) u64 buffer; one C pass for
+        # the Montgomery exit (x * R^{-1} via fr_vec_scale), bytes -> ints
+        buf = np.ascontiguousarray(a.T.astype("<u2")).view("<u8")
+        if mont:
+            rinv = pow(ctx.r, ctx.p - 2, ctx.p)
+            NL.get_lib().fr_vec_scale(NL._u64p(buf), NL._u64p(NL.fr_buf([rinv])), n)
+        return NL._np_from_u64_limbs(buf)
+    acc = np.zeros(n, dtype=object)
     for i in range(NLIMB):
         acc |= a[i].astype(object) << (LIMB_BITS * i)
     if mont:
@@ -379,7 +401,18 @@ def mul_scalar(a, scalar_limbs, ctx: FieldCtx = FR):
 
 
 def np_pack(values: Sequence[int], ctx: FieldCtx, mont: bool = True) -> np.ndarray:
-    """ints -> uint32[16, n] numpy array (vectorized object-array folding)."""
+    """ints -> uint32[16, n] numpy array (Montgomery form by default)."""
+    n = len(values)
+    NL = _native_lib(ctx, n)
+    if NL is not None:
+        # ints -> (n, 4) u64 via one bytes round trip (int.to_bytes runs at
+        # C speed), Montgomery entry (x * R) in one C pass, u16 view -> limbs
+        buf = NL._np_u64_limbs([v % ctx.p for v in values], 4)
+        if mont:
+            NL.get_lib().fr_vec_scale(
+                NL._u64p(buf), NL._u64p(NL.fr_buf([ctx.r % ctx.p])), n)
+        return np.ascontiguousarray(buf.view("<u2").reshape(n, NLIMB).T
+                                    ).astype(np.uint32)
     vals = np.array([v % ctx.p for v in values], dtype=object)
     if mont:
         vals = (vals * ctx.r) % ctx.p

@@ -1,0 +1,162 @@
+"""Generate (or check) the Rust-crosscheck fixtures.
+
+The fixtures pin everything a toolchain-equipped machine needs to verify
+this framework's proofs with the REFERENCE Rust verifier
+(/root/reference/halo2_proofs/src/plonk/verifier.rs:34-489 driven as in
+tests/my_test.rs:179-259), with no Python in the loop:
+
+  fixtures/mytest/proof.bin   proof bytes for the my_test.rs MyCircuit
+                              (the circuit at my_test.rs:43-110 — it exists
+                              verbatim in the reference, so the Rust side
+                              needs zero new circuit code)
+  fixtures/mytest/meta.json   toxic-waste s, k, table values, instances,
+                              the expected Fiat-Shamir challenge sequence,
+                              vk.transcript_repr, and the Rust pinned-VK
+                              string our keygen claims Rust would print
+  fixtures/simple/*           same for a gate+permutation+instance circuit
+                              (models/simple.py), covering the non-lookup
+                              protocol surface
+
+Usage:
+  python crosscheck/gen_fixtures.py          # (re)write fixtures
+  python crosscheck/gen_fixtures.py --check  # assert committed == generated
+
+The companion Rust harness is crosscheck/rust/*.rs; crosscheck/run.sh wires
+it into a copy of the reference tree when a cargo toolchain exists.
+"""
+import hashlib
+import json
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sha2cq_tpu.fields.host import FR_MOD
+from sha2cq_tpu.plonk import create_proof, keygen_pk, keygen_vk, verify_proof
+from sha2cq_tpu.poly.kzg.strategy import AccumulatorStrategy
+from sha2cq_tpu.utils.transcript import Blake2bRead
+
+P = FR_MOD
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+class RecordingRead(Blake2bRead):
+    """Blake2bRead that records every squeezed challenge, so the fixture can
+    pin the full Fiat-Shamir sequence (theta, beta, gamma, y, x, v, u, ...)
+    the Rust verifier must reproduce byte-for-byte."""
+
+    def __init__(self, proof: bytes):
+        super().__init__(proof)
+        self.challenges = []
+
+    def squeeze_challenge(self) -> int:
+        c = super().squeeze_challenge()
+        self.challenges.append(c)
+        return c
+
+
+def _emit(name: str, proof: bytes, meta: dict, check: bool) -> None:
+    d = os.path.join(HERE, "fixtures", name)
+    os.makedirs(d, exist_ok=True)
+    meta = dict(meta)
+    meta["proof_blake2b16"] = hashlib.blake2b(proof, digest_size=16).hexdigest()
+    meta["proof_len"] = len(proof)
+    # plain-file copies so the Rust harness needs no JSON parser:
+    files = {
+        "proof.bin": proof,
+        "meta.json": json.dumps(meta, indent=1, sort_keys=True) + "\n",
+        "s_dec.txt": str(int(meta["toxic_s"], 16)) + "\n",
+        "vk_pinned_rust.txt": meta["vk_pinned_rust"],
+        "instances.txt": "\n".join(
+            " ".join(str(v) for v in col) for col in meta["instances"]) + "\n",
+    }
+    for fname, data in files.items():
+        path = os.path.join(d, fname)
+        mode = "b" if isinstance(data, bytes) else ""
+        if check:
+            with open(path, "r" + mode) as f:
+                assert f.read() == data, f"{name}/{fname} differs"
+        else:
+            with open(path, "w" + mode) as f:
+                f.write(data)
+    print(f"{name}: fixtures {'match' if check else 'written'} "
+          f"({len(proof)} B proof)")
+
+
+def gen_mytest(check: bool) -> None:
+    sys.path.insert(0, os.path.join(os.path.dirname(HERE), "tests"))
+    from test_e2e_cq import TABLE_2_VALUES, TABLE_VALUES, MyCircuit, _setup
+
+    K = 3
+    rng, srs, t1, t2, params, configs, b0 = _setup(K)
+    # recover s deterministically the same way _setup does
+    s = random.Random(0x6371).randrange(P)
+    circuit = MyCircuit(t1, t2)
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, configs, b0, vk, circuit)
+    proof = create_proof(params, pk, [circuit], [[]], rng=random.Random(0x60))
+
+    read = RecordingRead(proof)
+    strategy = AccumulatorStrategy(params.verifier_params(), rng=random.Random(1))
+    assert verify_proof(params.verifier_params(), vk, strategy, [[]],
+                        read).check(), "fixture proof must verify"
+    meta = {
+        "circuit": "my_test.rs MyCircuit (halo2_proofs/tests/my_test.rs:43-110)",
+        "k": K,
+        "table_n": 16,
+        "toxic_s": hex(s),
+        "table_values": TABLE_VALUES,
+        "table_2_values": TABLE_2_VALUES,
+        "advice": {"col0": [30, 6], "col1": [15, 3]},
+        "instances": [],
+        "challenges": [hex(c) for c in read.challenges],
+        "vk_transcript_repr": hex(vk.transcript_repr),
+        "vk_pinned_rust": vk._pinned_str_rust(),
+        "notes": "proof blinds drawn from Python random.Random(0x60); the "
+                 "verifier needs none of that — only the bytes. Identity "
+                 "commitments are encoded as 32 zero bytes (see "
+                 "utils/transcript.py common_point note) — if the Rust "
+                 "verifier rejects a proof on an identity point read, that "
+                 "known byte-compat edge is the first thing to check.",
+    }
+    _emit("mytest", proof, meta, check)
+
+
+def gen_simple(check: bool) -> None:
+    from sha2cq_tpu.models.simple import SimpleCircuit
+    from sha2cq_tpu.poly.kzg.params import ParamsKZG
+
+    K = 4
+    s = random.Random(0x73696d).randrange(P)  # "sim"
+    params = ParamsKZG.setup_from_toxic_waste(K, s)
+    a0, b0v = 7, 11
+    circuit = SimpleCircuit(a0, b0v)
+    inst = [b0v, a0]
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, {}, [], vk, circuit)
+    proof = create_proof(params, pk, [circuit], [[inst]],
+                         rng=random.Random(0x61))
+    read = RecordingRead(proof)
+    strategy = AccumulatorStrategy(params.verifier_params(), rng=random.Random(1))
+    assert verify_proof(params.verifier_params(), vk, strategy, [[inst]],
+                        read).check(), "fixture proof must verify"
+    meta = {
+        "circuit": "models/simple.py SimpleCircuit (gate + copy constraint + "
+                   "instance; Rust equivalent in crosscheck/rust)",
+        "k": K,
+        "toxic_s": hex(s),
+        "a0": a0,
+        "b0": b0v,
+        "instances": [inst],
+        "challenges": [hex(c) for c in read.challenges],
+        "vk_transcript_repr": hex(vk.transcript_repr),
+        "vk_pinned_rust": vk._pinned_str_rust(),
+    }
+    _emit("simple", proof, meta, check)
+
+
+if __name__ == "__main__":
+    check = "--check" in sys.argv
+    gen_mytest(check)
+    gen_simple(check)

@@ -150,7 +150,12 @@ def dot_graph(k: int, circuit) -> str:
     lines = ["digraph circuit {", '  root [label="circuit", shape=box];']
     for ridx, region in enumerate(cap.regions):
         rows = [r for _, _, r in region["cells"]]
-        label = html.escape(region["name"][:32])
+        # dot double-quoted string literal escaping (NOT html.escape: that
+        # would render '&quot;' literally and pass backslashes through,
+        # corrupting the label)
+        label = (region["name"][:32]
+                 .replace("\\", "\\\\").replace('"', '\\"')
+                 .replace("\n", "\\n"))
         lines.append(
             f'  r{ridx} [label="{label}\\nrows {min(rows)}..{max(rows)}"];')
         lines.append(f"  root -> r{ridx};")

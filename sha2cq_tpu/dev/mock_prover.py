@@ -5,8 +5,10 @@ Differences from the reference, by design:
   - static (CQ) lookups ARE checked against the registered tables — the
     reference silently ignores them (dev.rs:345-351, a known gap flagged in
     SURVEY.md §1-L4); we have the table values available, so we check.
-  - failures are reported as structured strings rather than a typed enum
-    (dev/failure.rs); enough for tests to assert on.
+  - failures are typed records (VerifyFailure dataclass with kind /
+    constraint index / column / FailureLocation / cell values) with an
+    emitter (emit_failures), mirroring dev/failure.rs:119 +
+    failure/emitter.rs.
   - multi-phase challenges ARE supported: synthesis is re-run per phase with
     deterministic (hash-derived) challenge values revealed phase by phase,
     mirroring the real prover's phase protocol — a circuit that consumes a
@@ -116,14 +118,79 @@ class _MockAssignment:
 
 
 @dataclass
+class FailureLocation:
+    """Where a failure happened (reference dev/failure.rs:25-60
+    FailureLocation::{InRegion, OutsideRegion})."""
+    region: Optional[str]    # region name, None when outside any region
+    row: int
+
+    def __str__(self):
+        if self.region is None:
+            return f"on row {self.row} (outside any region)"
+        return f"in region '{self.region}' at row {self.row}"
+
+
+@dataclass
 class VerifyFailure:
-    kind: str        # "gate" | "lookup" | "static_lookup" | "permutation"
+    """Typed failure record (reference dev/failure.rs:119 VerifyFailure).
+
+    kind: "gate" (ConstraintNotSatisfied) | "unassigned" (CellNotAssigned) |
+          "lookup" | "static_lookup" | "permutation".
+    name: gate/lookup name or permutation cell pair.
+    row / location: row of the violation and its region attribution.
+    constraint_index: which polynomial of the gate (gate kind only).
+    column: "<kind>[<index>]" of the offending cell (unassigned/permutation).
+    cell_values: [(query description, value)] for every cell the failing
+          constraint read — the reference emitter's assignment listing
+          (dev/failure/emitter.rs:96-170).
+    """
+    kind: str
     name: str
     row: int
     detail: str = ""
+    location: Optional[FailureLocation] = None
+    constraint_index: Optional[int] = None
+    column: Optional[str] = None
+    cell_values: Optional[List[Tuple[str, int]]] = None
 
     def __str__(self):
         return f"{self.kind} '{self.name}' violated at row {self.row} {self.detail}"
+
+    def emit(self) -> str:
+        """Multi-line human-readable rendering (failure/emitter.rs style)."""
+        head = {
+            "gate": f"Constraint {self.constraint_index} in gate '{self.name}' "
+                    f"is not satisfied {self.location or f'on row {self.row}'}",
+            "unassigned": f"Cell {self.column} queried by active gate "
+                          f"'{self.name}' is not assigned "
+                          f"{self.location or f'on row {self.row}'}",
+            "lookup": f"Lookup '{self.name}' input does not exist in table "
+                      f"{self.location or f'on row {self.row}'}",
+            "static_lookup": f"Static (CQ) lookup '{self.name}' input does not "
+                             f"exist in table "
+                             f"{self.location or f'on row {self.row}'}",
+            "permutation": f"Equality constraint {self.name} is not satisfied "
+                           f"{self.location or f'on row {self.row}'}",
+        }.get(self.kind, str(self))
+        lines = [head]
+        if self.detail:
+            lines.append(f"  {self.detail}")
+        if self.cell_values:
+            lines.append("  Assigned cell values:")
+            lines += [f"    {q} = {_fmt_fr(v)}" for q, v in self.cell_values]
+        return "\n".join(lines)
+
+
+def _fmt_fr(v: int) -> str:
+    """Small field values print as integers, large ones as 0x… (the emitter's
+    readable-scalar convention)."""
+    return str(v) if v < 1 << 16 else hex(v)
+
+
+def emit_failures(failures: List["VerifyFailure"]) -> str:
+    """Render a failure list the way the reference prints VerifyFailure
+    (one emitted block per failure)."""
+    return "\n".join(f.emit() for f in failures)
 
 
 def _collect_queries(expr: Expression, advice_out: set, fixed_out: set) -> None:
@@ -188,6 +255,39 @@ class MockProver:
                 return str(name)
         return "?"
 
+    def _loc(self, row: int) -> FailureLocation:
+        for name, lo, hi in self.a.regions:
+            if lo <= row <= hi:
+                return FailureLocation(str(name), row)
+        return FailureLocation(None, row)
+
+    def _cell_values(self, expr: Expression, row: int) -> List[Tuple[str, int]]:
+        """Every cell the expression reads at `row`, with its value — the
+        emitter's assignment listing (failure/emitter.rs:96-170)."""
+        out: List[Tuple[str, int]] = []
+        seen = set()
+
+        def walk(e):
+            if e.kind in ("advice", "fixed", "instance"):
+                key = (e.kind, e.column.index, e.rotation)
+                if key not in seen:
+                    seen.add(key)
+                    rot = f"@{e.rotation}" if e.rotation else ""
+                    out.append((f"{e.kind}[{e.column.index}]{rot}",
+                                self._cell(e.kind, e.column.index,
+                                           row + e.rotation)))
+            elif e.kind == "challenge" and ("ch", e.value) not in seen:
+                seen.add(("ch", e.value))
+                out.append((f"challenge[{e.value}]",
+                            self.a.challenges.get(e.value, 0)))
+            if e.a is not None:
+                walk(e.a)
+            if e.b is not None:
+                walk(e.b)
+
+        walk(expr)
+        return out
+
     # ------------------------------------------------------------------
     def _cell(self, kind: str, col_index: int, row: int) -> int:
         row %= self.n
@@ -226,7 +326,10 @@ class MockProver:
                         failures.append(VerifyFailure(
                             "gate", gate.name, row,
                             f"(constraint {poly_idx}, region "
-                            f"'{self._region_of(row)}')"))
+                            f"'{self._region_of(row)}')",
+                            location=self._loc(row),
+                            constraint_index=poly_idx,
+                            cell_values=self._cell_values(poly, row)))
 
         # unassigned-cell coverage: an advice cell queried by a gate that is
         # active on a region row (some fixed/selector factor nonzero there)
@@ -254,7 +357,8 @@ class MockProver:
                         failures.append(VerifyFailure(
                             "unassigned", gate.name, r,
                             f"advice[{ci}] queried by an active gate but "
-                            f"never assigned"))
+                            f"never assigned",
+                            location=self._loc(r), column=f"advice[{ci}]"))
 
         # dynamic lookups: each input row (theta-compressed tuple) must appear
         # in the table tuple set
@@ -265,7 +369,11 @@ class MockProver:
             for row in range(usable):
                 inp = tuple(self._eval(i, row) for i in lk.input_expressions)
                 if inp not in table_rows:
-                    failures.append(VerifyFailure("lookup", lk.name, row, f"{inp}"))
+                    failures.append(VerifyFailure(
+                        "lookup", lk.name, row, f"{inp}",
+                        location=self._loc(row),
+                        cell_values=[(f"input[{i}]", v)
+                                     for i, v in enumerate(inp)]))
 
         # static lookups (improvement over the reference MockProver)
         for sl in self.cs.static_lookups:
@@ -288,7 +396,11 @@ class MockProver:
             for row in range(usable):
                 tup = tuple(self._eval(e, row) for e in sl.input_expressions)
                 if tup not in row_sets:
-                    failures.append(VerifyFailure("static_lookup", sl.name, row, f"{tup}"))
+                    failures.append(VerifyFailure(
+                        "static_lookup", sl.name, row, f"{tup}",
+                        location=self._loc(row),
+                        cell_values=[(f"input[{i}]", v)
+                                     for i, v in enumerate(tup)]))
 
         # permutation: copy constraints must hold
         for (ca, ra, cb, rb) in self.a.copies:
@@ -296,11 +408,14 @@ class MockProver:
             vb = self._cell(cb.kind, cb.index, rb)
             if va != vb:
                 failures.append(VerifyFailure(
-                    "permutation", f"{ca}={cb}", ra, f"{va} != {vb} (row {rb})"))
+                    "permutation", f"{ca}={cb}", ra, f"{va} != {vb} (row {rb})",
+                    location=self._loc(ra), column=f"{ca.kind}[{ca.index}]",
+                    cell_values=[(f"{ca.kind}[{ca.index}]@row{ra}", va),
+                                 (f"{cb.kind}[{cb.index}]@row{rb}", vb)]))
         return failures
 
     def assert_satisfied(self) -> None:  # noqa: D102
         failures = self.verify()
         if failures:
             raise AssertionError(
-                "circuit not satisfied:\n" + "\n".join(str(f) for f in failures))
+                "circuit not satisfied:\n" + emit_failures(failures))

@@ -99,13 +99,17 @@ def unpack(arr, ctx: FieldCtx, mont: bool = True) -> list:
     a = np.asarray(jax.device_get(arr)).reshape(NLIMB, -1)
     n = a.shape[1]
     NL = _native_lib(ctx, n)
-    if NL is not None:
+    if NL is not None and (a <= 0xFFFF).all():
         # (16, n) uint32 16-bit limbs -> (n, 4) u64 buffer; one C pass for
-        # the Montgomery exit (x * R^{-1} via fr_vec_scale), bytes -> ints
+        # the Montgomery exit (x * R^{-1} via fr_vec_scale), bytes -> ints.
+        # The u16 view requires canonical 16-bit limbs (the astype would
+        # silently truncate larger values — checked above; non-canonical
+        # arrays fall through to the object-int fold below).
         buf = np.ascontiguousarray(a.T.astype("<u2")).view("<u8")
-        if mont:
-            rinv = pow(ctx.r, ctx.p - 2, ctx.p)
-            NL.get_lib().fr_vec_scale(NL._u64p(buf), NL._u64p(NL.fr_buf([rinv])), n)
+        # mont: x * R^{-1} mod p; else scale by R (mont-mul identity) so the
+        # native branch applies the same `% ctx.p` reduction as the fallback
+        scale = pow(ctx.r, ctx.p - 2, ctx.p) if mont else ctx.r % ctx.p
+        NL.get_lib().fr_vec_scale(NL._u64p(buf), NL._u64p(NL.fr_buf([scale])), n)
         return NL._np_from_u64_limbs(buf)
     acc = np.zeros(n, dtype=object)
     for i in range(NLIMB):

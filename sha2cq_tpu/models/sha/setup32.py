@@ -21,17 +21,45 @@ from .tables32 import HalfScheme, build_all_columns
 P = H.FR_MOD
 
 
+def _cache_dir() -> str:
+    d = os.path.expanduser(
+        os.environ.get("SHA2CQ_CACHE", "~/.cache/sha2cq_jax"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _cache_file(tag: str) -> str:
+    return os.path.join(
+        _cache_dir(), hashlib.sha256(tag.encode()).hexdigest()[:24] + ".pkl")
+
+
+def _load_srs(srs_len: int, secret: int, cache: bool, progress: bool):
+    """TableSRS, disk-cached on (srs_len, secret): the G1/G2 power chains are
+    minutes of work at 2^18 and identical across every circuit size k<=18."""
+    path = _cache_file(f"sha256_srs_{srs_len}_{secret % P:x}") if cache else None
+    if path and os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    if progress:
+        import time
+        t0 = time.time()
+    srs = TableSRS.setup_from_toxic_waste(srs_len - 1, srs_len, secret)
+    if progress:
+        print(f"  TableSRS ({srs_len}): {time.time() - t0:.1f}s", flush=True)
+    if path:
+        with open(path + ".tmp", "wb") as f:
+            pickle.dump(srs, f, protocol=4)
+        os.replace(path + ".tmp", path)
+    return srs
+
+
 def build_sha256_setup(s: HalfScheme, circuit_n: int, secret: int,
                        cache: bool = True, progress: bool = False):
     """Returns (static_tables, configs, b0_g1_bound, srs) for circuit32."""
     cache_path = None
     if cache:
-        cache_dir = os.path.expanduser(
-            os.environ.get("SHA2CQ_CACHE", "~/.cache/sha2cq_jax"))
-        os.makedirs(cache_dir, exist_ok=True)
         tag = f"sha256_setup_{s.word_bits}_{circuit_n}_{secret % P:x}"
-        cache_path = os.path.join(
-            cache_dir, hashlib.sha256(tag.encode()).hexdigest()[:24] + ".pkl")
+        cache_path = _cache_file(tag)
         if os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
                 return pickle.load(f)
@@ -39,13 +67,20 @@ def build_sha256_setup(s: HalfScheme, circuit_n: int, secret: int,
     specs = build_all_columns(s)
     max_size = max(len(next(iter(c.values()))) for c in specs.values())
     srs_len = max(max_size, circuit_n)
-    srs = TableSRS.setup_from_toxic_waste(srs_len - 1, srs_len, secret)
+    srs = _load_srs(srs_len, secret, cache, progress)
 
     # per-table checkpointing: each preprocessed column is cached on its own,
-    # so an interrupted multi-hour build resumes where it stopped
+    # so an interrupted multi-hour build resumes where it stopped.  The key
+    # deliberately EXCLUDES circuit_n: the expensive halves (FK quotient
+    # commitments, the G2 table commitment) depend only on the table values
+    # and the SRS; only the one-point B0 degree bound [x^{srs-1-(n-2)}]_2
+    # does, and that is re-picked from srs.g2 below — so k=13 and k=14
+    # setups share one multi-hour table build.
     tdir = None
     if cache_path:
-        tdir = cache_path + ".tables"
+        tdir = os.path.join(
+            _cache_dir(),
+            f"sha256_tables_{s.word_bits}_{srs_len}_{secret % P:x}")
         os.makedirs(tdir, exist_ok=True)
 
     static_tables: Dict[str, Dict[str, StaticTable]] = {}
@@ -57,7 +92,9 @@ def build_sha256_setup(s: HalfScheme, circuit_n: int, secret: int,
             tpath = os.path.join(tdir, f"{fam}_{comp}.pkl") if tdir else None
             if tpath and os.path.exists(tpath):
                 with open(tpath, "rb") as f:
-                    static_tables[fam][comp] = pickle.load(f)
+                    entry = pickle.load(f)
+                entry.committed.x_b0_bound = srs.g2[srs_len - 1 - (circuit_n - 2)]
+                static_tables[fam][comp] = entry
                 continue
             if progress:
                 import time

@@ -287,13 +287,14 @@ def _dft_matmul(a: jnp.ndarray, mat: jnp.ndarray, rowsum: jnp.ndarray,
 
 
 def _dft_matmul_mult(a: jnp.ndarray, mat: jnp.ndarray, rowsum: jnp.ndarray,
-                     ctx, mult: jnp.ndarray, mult_is_tile: bool) -> jnp.ndarray:
+                     ctx, mult: jnp.ndarray, mult_is_tile: bool,
+                     mult_minor: int = 0) -> jnp.ndarray:
     """DFT + fused epilogue: planes -> limbs -> Montgomery-multiply by `mult`
     in ONE Pallas pass per VMEM tile (ops/pallas_field.planes_to_limbs_mul).
     Output is canonical.  Caller must have checked PF.epilogue_supported."""
     from . import pallas_field as PF
     return PF.planes_to_limbs_mul(_dft_planes(a, mat, rowsum), mult, ctx,
-                                  mult_is_tile)
+                                  mult_is_tile, mult_minor)
 
 
 def _dft_small(a: jnp.ndarray, omega: int, ctx) -> jnp.ndarray:
@@ -352,11 +353,27 @@ def _dft_axis1(a: jnp.ndarray, plan: NttPlan, level: int, ctx,
     a = a.reshape(NLIMB, m2, m1 * B)
     tw = plan.twiddles[level]                                 # (16, m2, m1)
     if PF.epilogue_supported(m2, m1 * B):
-        mult = tw if B == 1 else jnp.broadcast_to(
-            tw[..., None], (NLIMB, m2, m1, B)).reshape(NLIMB, m2, m1 * B)
-        f = _dft_matmul_mult(a, plan.base_mat, plan.base_rowsum, ctx,
-                             mult, mult_is_tile=True)         # canonical < p
-        f = f.reshape(NLIMB, m2, m1, B)
+        bx = PF._pick_bx(m1 * B)
+        if B == 1:
+            f = _dft_matmul_mult(a, plan.base_mat, plan.base_rowsum, ctx,
+                                 tw, mult_is_tile=True)       # canonical < p
+            f = f.reshape(NLIMB, m2, m1, B)
+        elif m1 % bx == 0:
+            # batch-major X (x = b*m1 + t1): the (16, m2, m1) twiddle tensor
+            # is tiled periodically by the Pallas index_map — no broadcast
+            # materialization (ADVICE r2: 16*m2*m1*B u32 of HBM traffic)
+            ab = jnp.transpose(a.reshape(NLIMB, m2, m1, B), (0, 1, 3, 2)) \
+                .reshape(NLIMB, m2, B * m1)
+            f = _dft_matmul_mult(ab, plan.base_mat, plan.base_rowsum, ctx,
+                                 tw, mult_is_tile=True, mult_minor=m1)
+            f = jnp.transpose(f.reshape(NLIMB, m2, B, m1), (0, 1, 3, 2))
+        else:
+            # tiny m1 (late levels): the broadcast is small — materialize
+            mult = jnp.broadcast_to(
+                tw[..., None], (NLIMB, m2, m1, B)).reshape(NLIMB, m2, m1 * B)
+            f = _dft_matmul_mult(a, plan.base_mat, plan.base_rowsum, ctx,
+                                 mult, mult_is_tile=True)     # canonical < p
+            f = f.reshape(NLIMB, m2, m1, B)
     else:
         f = _dft_matmul(a, plan.base_mat, plan.base_rowsum, ctx)  # [k2, t1]
         f = f.reshape(NLIMB, m2, m1, B)

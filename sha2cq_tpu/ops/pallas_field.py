@@ -183,19 +183,31 @@ def epilogue_supported(m: int, x: int) -> bool:
 
 
 def planes_to_limbs_mul(O: jnp.ndarray, mult: jnp.ndarray, ctx=FR,
-                        mult_is_tile: bool = True) -> jnp.ndarray:
+                        mult_is_tile: bool = True,
+                        mult_minor: int = 0) -> jnp.ndarray:
     """(32, M, X) int32 digit planes -> (16, M, X) canonical Montgomery limbs,
     multiplied by `mult` on the way out.
 
     mult_is_tile=True: mult is (16, M, X) (per-element twiddles).
     mult_is_tile=False: mult is (16, BM, BX) — one broadcast block reused by
-    every grid step (scalar multiplier, e.g. Montgomery-one or 1/n)."""
+    every grid step (scalar multiplier, e.g. Montgomery-one or 1/n).
+    mult_minor=m1 > 0 (with mult_is_tile=True): mult is (16, M, m1) and the
+    X axis is batch-major, x = b*m1 + t1, so grid column j reads twiddle
+    block j % (m1//BX) — the (16, M, X) broadcast never touches HBM
+    (a batched NTT level otherwise pays 16*M*X u32 of pure twiddle traffic,
+    e.g. 256 MB at k=18 chunk=16)."""
     M, X = O.shape[1], O.shape[2]
     BM, BX = 8, _pick_bx(X)
     grid = (M // BM, X // BX)
     o_spec = pl.BlockSpec((_NDIG, BM, BX), lambda i, j: (0, i, j),
                           memory_space=pltpu.VMEM)
-    if mult_is_tile:
+    if mult_minor:
+        assert mult_is_tile and mult_minor % BX == 0 and \
+            mult.shape == (NLIMB, M, mult_minor)
+        nrep = mult_minor // BX
+        m_spec = pl.BlockSpec((NLIMB, BM, BX), lambda i, j: (0, i, j % nrep),
+                              memory_space=pltpu.VMEM)
+    elif mult_is_tile:
         m_spec = pl.BlockSpec((NLIMB, BM, BX), lambda i, j: (0, i, j),
                               memory_space=pltpu.VMEM)
     else:

@@ -132,8 +132,12 @@ def distributed_ntt(a: jnp.ndarray, omega: int, k: int, mesh: Mesh) -> jnp.ndarr
 
     spec_in = P_(None, None, "x")
     spec_out = P_(None, "x", None)
-    f = jax.shard_map(step, mesh=mesh,
-                      in_specs=(spec_in, spec_in), out_specs=spec_out)
+    # jit the whole sharded program: un-jitted shard_map executes each
+    # primitive eagerly across all devices (a ~100x dispatch-overhead storm
+    # on the virtual-device CPU mesh; also wrong for TPU, where we want ONE
+    # fused program per step)
+    f = jax.jit(jax.shard_map(step, mesh=mesh,
+                              in_specs=(spec_in, spec_in), out_specs=spec_out))
     U = f(M, tw_mat)
     # out[k] with k = k1 + R*k2  => out = transpose(U) flattened
     return jnp.transpose(U, (0, 2, 1)).reshape(NLIMB, n)
@@ -157,21 +161,30 @@ def sharded_msm_window_sums(points, digits: jnp.ndarray, n: int, mesh: Mesh,
         return jax.lax.all_gather(sums, "x")                   # (ndev, nw, 3, 16)
 
     spec_pts = (P_(None, "x"),) * 3
-    f = jax.shard_map(local, mesh=mesh,
-                      in_specs=(spec_pts, P_(None, "x")),
-                      out_specs=P_(None), check_vma=False)
+    f = jax.jit(jax.shard_map(local, mesh=mesh,
+                              in_specs=(spec_pts, P_(None, "x")),
+                              out_specs=P_(None), check_vma=False))
     gathered = f(points, digits)
 
-    # fold the ndev partials with the unified jacobian add (width = windows)
-    X = jnp.moveaxis(gathered[:, :, 0, :], -1, 1)  # (ndev, 16, nw)
-    Y = jnp.moveaxis(gathered[:, :, 1, :], -1, 1)
-    Z = jnp.moveaxis(gathered[:, :, 2, :], -1, 1)
-    acc = (X[0], Y[0], Z[0])
-    for i in range(1, gathered.shape[0]):
-        acc = PD.point_add(acc, (X[i], Y[i], Z[i]))
-    return jnp.stack([jnp.moveaxis(acc[0], 0, 1),
-                      jnp.moveaxis(acc[1], 0, 1),
-                      jnp.moveaxis(acc[2], 0, 1)], axis=1)  # (nw, 3, 16)
+    # fold the ndev partials with the unified jacobian add (width = windows).
+    # lax.scan shares ONE point_add body across the ndev-1 adds — an unrolled
+    # loop inlines ~25k HLO per add and blows up the XLA:CPU compile.
+    @jax.jit
+    def fold(g):
+        X = jnp.moveaxis(g[:, :, 0, :], -1, 1)     # (ndev, 16, nw)
+        Y = jnp.moveaxis(g[:, :, 1, :], -1, 1)
+        Z = jnp.moveaxis(g[:, :, 2, :], -1, 1)
+
+        def step(acc, nxt):
+            return PD.point_add(acc, tuple(nxt)), None
+
+        acc, _ = jax.lax.scan(step, (X[0], Y[0], Z[0]),
+                              jnp.stack([X[1:], Y[1:], Z[1:]], axis=1))
+        return jnp.stack([jnp.moveaxis(acc[0], 0, 1),
+                          jnp.moveaxis(acc[1], 0, 1),
+                          jnp.moveaxis(acc[2], 0, 1)], axis=1)  # (nw, 3, 16)
+
+    return fold(gathered)
 
 
 # ------------------- sharded pointwise constraint evaluation ----------------
@@ -186,7 +199,7 @@ def sharded_pointwise_gate(values: jnp.ndarray, sel: jnp.ndarray,
         return D.add(D.mont_mul(v, y, FR), term, FR)
 
     spec = P_(None, "x")
-    f = jax.shard_map(step, mesh=mesh,
-                      in_specs=(spec, spec, P_(None)), out_specs=spec,
-                      check_vma=False)
+    f = jax.jit(jax.shard_map(step, mesh=mesh,
+                              in_specs=(spec, spec, P_(None)), out_specs=spec,
+                              check_vma=False))
     return f(values, sel, y_limbs)

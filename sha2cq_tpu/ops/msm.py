@@ -144,17 +144,151 @@ def _window_sums(points, digits, n: int, c: int = 16):
     return jax.lax.map(one_window, digits)
 
 
+def _neg_y(pt):
+    """Jacobian negation: (X, -Y, Z) — free, used for bucket boundary
+    subtraction (sum over a segment = S[tail] - S[head-1])."""
+    X, Y, Z = pt
+    zero = jnp.zeros_like(Y)
+    return (X, D.sub(zero, Y, FQ), Z)
+
+
+def pick_window_bits_v2(n: int) -> int:
+    """Window size for the block-scan kernel: balance the O(n) prefix scan
+    against the O((2c+3)*2^c) bucket-side work per window."""
+    c = 8
+    while c < 16 and (1 << (c + 1)) * (2 * (c + 1) + 3) <= n:
+        c += 1
+    return c
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _window_sums_v2(points, digits, n: int, c: int, block: int = 256):
+    """Block-scan window sums: ~2n lane point-adds per window instead of the
+    Hillis-Steele kernel's n*log2(n).
+
+    Per window:
+      sort by digit; exclusive prefix scan of the sorted points in three
+      fixed-shape phases (block-local sequential scan, Hillis-Steele over
+      the n/block block totals, nothing full-width); every bucket's sum is
+      then S[tail] - S[head-1] = E[next_head] + (-E[head]) — EC negation is
+      free — gathered and combined on 2^c lanes only; suffix scans turn
+      buckets into the weighted window sum as before.
+
+    All phases are fori_loops with level-independent shapes, so the body
+    (one unified Jacobian add, ~25k HLO) compiles a constant number of
+    times.  n must be a multiple of `block`."""
+    X, Y, Z = points
+    nb = n // block
+    m = 1 << c
+
+    def one_window(d):
+        order = jnp.argsort(d)
+        ds = jnp.take(d, order)
+        pt = (jnp.take(X, order, axis=1), jnp.take(Y, order, axis=1),
+              jnp.take(Z, order, axis=1))
+        live = ds != 0
+        pt = PD.select_point(live, pt, PD.identity_like((n,)))
+
+        # ---- phase 1: block-local EXCLUSIVE scan (sequential over block,
+        # vectorized over the n/block blocks; lane-adds = n) ----------------
+        a = tuple(p.reshape(NLIMB, nb, block) for p in pt)
+        E0 = PD.identity_like((nb, block))
+
+        def p1(j, carry):
+            acc, E = carry
+            col = tuple(jax.lax.dynamic_slice_in_dim(p, j, 1, axis=2)[:, :, 0]
+                        for p in a)
+            E = tuple(jax.lax.dynamic_update_slice_in_dim(
+                e, acc_c[:, :, None], j, axis=2)
+                for e, acc_c in zip(E, acc))
+            return (PD.point_add(acc, col), E)
+
+        btot, E_loc = jax.lax.fori_loop(0, block, p1, (PD.identity_like((nb,)), E0))
+
+        # ---- phase 2: exclusive Hillis-Steele over the nb block totals ----
+        bidx2 = jnp.arange(nb, dtype=jnp.int32)
+
+        def p2(t, acc):
+            off = jnp.int32(1) << t
+            sh = tuple(jnp.roll(p, off, axis=1) for p in acc)
+            comb = PD.point_add(sh, acc)
+            return PD.select_point(bidx2 >= off, comb, acc)
+
+        incl = jax.lax.fori_loop(0, _ceil_log2(nb), p2, btot)
+        T_all = tuple(p[:, nb - 1] for p in incl)                # scan total
+        bpref = PD.select_point(bidx2 == 0, PD.identity_like((nb,)),
+                                tuple(jnp.roll(p, 1, axis=1) for p in incl))
+
+        # ---- bucket sums from E at head lanes only -------------------------
+        idx = jnp.arange(n, dtype=jnp.int32)
+        is_head = (idx == 0) | (ds != jnp.roll(ds, 1))
+        hb = jnp.where(is_head, ds.astype(jnp.int32), jnp.int32(0))
+        headpos = jnp.full((m,), -1, jnp.int32).at[hb].set(
+            jnp.where(is_head, idx, jnp.int32(-1)))
+        # tail-E position of bucket b = head position of the NEXT segment
+        prev_b = jnp.roll(ds, 1).astype(jnp.int32)
+        tailpos = jnp.full((m,), -1, jnp.int32).at[
+            jnp.where(is_head & (idx > 0), prev_b, jnp.int32(0))].set(
+            jnp.where(is_head & (idx > 0), idx, jnp.int32(-1)))
+        tailpos = tailpos.at[ds[n - 1].astype(jnp.int32)].set(jnp.int32(n))
+
+        E_flat = tuple(p.reshape(NLIMB, n) for p in E_loc)
+
+        def gather_E(pos):
+            """E[pos] = block_prefix[pos//block] + E_local[pos], identity for
+            pos < 0, T_all for pos == n; one 2^c-lane point_add."""
+            safe = jnp.clip(pos, 0, n - 1)
+            el = tuple(p[:, safe] for p in E_flat)
+            bp = tuple(p[:, safe // block] for p in bpref)
+            e = PD.point_add(el, bp)
+            e = PD.select_point(pos == n,
+                                tuple(jnp.broadcast_to(p[:, None], (NLIMB, m))
+                                      for p in T_all), e)
+            return PD.select_point(pos < 0, PD.identity_like((m,)), e)
+
+        B = PD.point_add(gather_E(tailpos), _neg_y(gather_E(headpos)))
+        bucket0 = jnp.arange(m) == 0
+        B = PD.select_point(bucket0 | D.is_zero(B[2]), PD.identity_like((m,)), B)
+
+        # ---- suffix sums + weighted total (same two scans as before) ------
+        bidx = jnp.arange(m, dtype=jnp.int32)
+
+        def sstep(t, acc):
+            offset = jnp.int32(1) << t
+            sh = tuple(jnp.roll(p, -offset, axis=1) for p in acc)
+            combined = PD.point_add(sh, acc)
+            return PD.select_point(bidx < (m - offset), combined, acc)
+
+        R = jax.lax.fori_loop(0, c, sstep, B)
+        R = PD.select_point(bidx == 0, PD.identity_like((m,)), R)
+        T = jax.lax.fori_loop(0, c, sstep, R)
+        return jnp.stack([T[0][:, 0], T[1][:, 0], T[2][:, 0]])  # (3, 16)
+
+    return jax.lax.map(one_window, digits)
+
+
 def msm_device(scalars: Sequence[int], points, digits: Optional[np.ndarray] = None,
-               c: Optional[int] = None):
+               c: Optional[int] = None, kernel: str = "v2"):
     """Pippenger MSM on device; points = host affine list or device PointArray."""
     n = len(scalars) if digits is None else digits.shape[1]
-    c = c or pick_window_bits(n)
+    c = c or (pick_window_bits_v2(n) if kernel == "v2" else pick_window_bits(n))
     if digits is None:
         digits = _scalars_to_digits(scalars, c)
     nw = digits.shape[0]
     if not isinstance(points, tuple):
         points = PD.pack_affine(points)
-    sums = _window_sums(points, jnp.asarray(digits), n, c)
+    if kernel == "v2":
+        block = min(256, max(2, 1 << (max(1, n.bit_length() - 1) // 2)))
+        pad = (-n) % block
+        if pad:
+            digits = np.concatenate(
+                [np.asarray(digits), np.zeros((nw, pad), np.uint32)], axis=1)
+            points = tuple(jnp.concatenate(
+                [p, jnp.zeros((NLIMB, pad), dtype=p.dtype)], axis=1)
+                for p in points)
+        sums = _window_sums_v2(points, jnp.asarray(digits), n + pad, c, block)
+    else:
+        sums = _window_sums(points, jnp.asarray(digits), n, c)
     sums = np.asarray(jax.device_get(sums))  # (nw, 3, 16)
     total = None
     from ..fields.host import FQ_MOD, inv_mod

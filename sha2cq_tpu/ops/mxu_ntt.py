@@ -109,17 +109,92 @@ def _dft_digit_matrix_np(m: int, omega: int, p: int):
     return mat, rowsum
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _digit_matrix_build_jit(wm_row, c256r, p_name: str):
+    """Build the (32m, 32m) int8 digit matrix ON DEVICE from the (16, m)
+    Montgomery-form first-power row [w^j * R]_j.
+
+    W[i, j] = w^{ij} is generated standard-form by a scan of mont_muls
+    (std * mont stays std); the 32 byte positions come from 32 successive
+    mod-p byte shifts (mont_mul by [256R]).  Rationale: the host-built
+    m=512 matrix is 268 MB of int8 and the axon tunnel moves ~2 MB/s, so
+    shipping it cost 100-150 s per process per plan; this ships 32 KB and
+    builds in device memory."""
+    ctx = FR if p_name == "Fr" else D.FQ
+    m = wm_row.shape[1]
+    one = jnp.zeros((NLIMB, m), dtype=D.U32).at[0, :].set(1)
+
+    def row_step(row, _):
+        return D.mont_mul(row, wm_row, ctx), row
+
+    _, W = jax.lax.scan(row_step, one, None, length=m)      # (m_i, 16, m_j)
+    V = jnp.transpose(W, (1, 0, 2))                         # (16, i, j) std
+
+    def byte_step(v, _):
+        lo = (v & 0xFF).astype(jnp.uint8)
+        hi = ((v >> 8) & 0xFF).astype(jnp.uint8)
+        planes = jnp.stack([lo, hi], axis=1).reshape(NDIG, m, m)  # s = 2t+h
+        return D.mont_mul(v, c256r, ctx), planes
+
+    _, B = jax.lax.scan(byte_step, V, None, length=NDIG)    # (b, s, i, j)
+    mat = (jnp.transpose(B, (1, 2, 3, 0)).astype(jnp.int16) - 128) \
+        .astype(jnp.int8).reshape(NDIG * m, m * NDIG)
+    rowsum = jnp.sum(mat.astype(jnp.int32), axis=1)
+    return mat, rowsum
+
+
+def _dft_digit_matrix_dev(m: int, omega: int, ctx):
+    """Device-built digit matrix, bit-identical to _dft_digit_matrix_np."""
+    p = ctx.p
+    w_pows = [1] * m
+    for j in range(1, m):
+        w_pows[j] = w_pows[j - 1] * omega % p
+    wm_row = jnp.asarray(D.np_pack(w_pows, ctx, mont=True))        # w^j * R
+    c256r = jnp.asarray(
+        D.np_pack([256 * ctx.r % p], ctx, mont=False)).reshape(NLIMB, 1, 1)
+    return _digit_matrix_build_jit(wm_row, c256r, ctx.name)
+
+
 @functools.lru_cache(maxsize=16)
 def _dft_digit_matrix(m: int, omega: int, p_name: str):
     ctx = FR if p_name == "Fr" else D.FQ
+    if m >= 64 and jax.default_backend() in ("tpu", "axon"):
+        return _dft_digit_matrix_dev(m, omega % ctx.p, ctx)
     mat, rowsum = _dft_digit_matrix_np(m, omega % ctx.p, ctx.p)
     return jnp.asarray(mat), jnp.asarray(rowsum)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _twiddle_build_jit(wm_row, m2: int):
+    """(16, m1) Montgomery row [w^{t1} R] -> (16, m2, m1) Montgomery tensor
+    T[k2, t1] = w^{k2*t1} R by a scan of mont_muls (device-resident; avoids
+    shipping the 16 MB k=18 tensor through the ~2 MB/s tunnel)."""
+    m1 = wm_row.shape[1]
+    one = jnp.broadcast_to(
+        jnp.asarray(FR.r_limbs, dtype=D.U32)[:, None], (NLIMB, m1))
+
+    def step(row, _):
+        return D.mont_mul(row, wm_row, FR), row
+
+    _, T = jax.lax.scan(step, one, None, length=m2)   # (m2, 16, m1)
+    return jnp.transpose(T, (1, 0, 2))
+
+
+def _twiddle_tensor_dev(omega: int, m2: int, m1: int, ctx):
+    p = ctx.p
+    w_pows = [1] * m1
+    for j in range(1, m1):
+        w_pows[j] = w_pows[j - 1] * omega % p
+    return _twiddle_build_jit(jnp.asarray(D.np_pack(w_pows, ctx)), m2)
 
 
 @functools.lru_cache(maxsize=32)
 def _twiddle_tensor(omega: int, m2: int, m1: int, p_name: str):
     """(16, m2, m1) Montgomery-form T[k2, t1] = omega^{k2*t1}."""
     ctx = FR if p_name == "Fr" else D.FQ
+    if m2 * m1 >= (1 << 16) and ctx.name == "Fr" and \
+            jax.default_backend() in ("tpu", "axon"):
+        return _twiddle_tensor_dev(omega % ctx.p, m2, m1, ctx)
     p = ctx.p
     w_t1 = np.empty(m1, dtype=object)
     cur = 1

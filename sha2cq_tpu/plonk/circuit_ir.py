@@ -161,6 +161,31 @@ class Expression:
             return ops["scaled"](self.a.evaluate(ops), self.value)
         raise ValueError(k)
 
+    def evaluate_lazy(self, ops: dict, zero) -> object:
+        """Short-circuiting fold (reference plonk/circuit.rs:867-1026
+        Expression::evaluate_lazy): a product whose left factor evaluates to
+        `zero` skips the right subtree entirely.  Selector-gated gates make
+        this the common case on inactive rows — the MockProver's row loop is
+        ~deg(gate)x faster on sparse selectors."""
+        k = self.kind
+        if k == "const":
+            return ops["const"](self.value)
+        if k in ("selector", "fixed", "advice", "instance", "challenge"):
+            return ops[k](self)
+        if k == "neg":
+            return ops["neg"](self.a.evaluate_lazy(ops, zero))
+        if k == "sum":
+            return ops["sum"](self.a.evaluate_lazy(ops, zero),
+                              self.b.evaluate_lazy(ops, zero))
+        if k == "prod":
+            left = self.a.evaluate_lazy(ops, zero)
+            if left == zero:
+                return left
+            return ops["prod"](left, self.b.evaluate_lazy(ops, zero))
+        if k == "scaled":
+            return ops["scaled"](self.a.evaluate_lazy(ops, zero), self.value)
+        raise ValueError(k)
+
     def map_nodes(self, f: Callable[["Expression"], Optional["Expression"]]) -> "Expression":
         """Rebuild the tree, replacing nodes where f returns non-None."""
         r = f(self)

@@ -43,6 +43,26 @@ from .circuit_ir import Expression
 P = H.FR_MOD
 
 
+@jax.jit
+def _mont_mul_jit(a, b):
+    """Elementwise Montgomery multiply as its own tiny stable-keyed program
+    (see convert_eager/quotient_eager)."""
+    return D.mont_mul(a, b, FR)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _c2e_chunk(coeff, zeta_fwd, plan, res_omega, p_name, out_n):
+    """coeff (16, cb, n) -> extended-coset evals (16, cb, out_n): ZETA-coset
+    scale, zero-pad to the extended size, forward MXU NTT.  A small
+    stable-keyed program shared by every 16-column chunk (see run())."""
+    from ..ops import mxu_ntt as MX
+    ctx = FR if p_name == "Fr" else D.FQ
+    a = D.mont_mul(coeff, zeta_fwd[:, None, :], ctx)
+    pad = jnp.zeros((NLIMB, a.shape[1], out_n - a.shape[2]), dtype=a.dtype)
+    return MX.mxu_ntt_batch(jnp.concatenate([a, pad], axis=2), plan,
+                            res_omega, ctx)
+
+
 def _const(v: int):
     return D.pack_scalar(v, FR).reshape(NLIMB, 1)
 
@@ -383,10 +403,64 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
     convert_jit = jax.jit(convert_fn)
     quotient_jit = jax.jit(quotient_fn)
 
+    def quotient_eager(values):
+        """Quotient as three small dispatches (same flaky-remote-compile
+        rationale as convert_eager; the fused 1/n scale in the e2c NTT is
+        value-identical to canonicalize-then-scale)."""
+        v = _mont_mul_jit(values, consts["vanishing_inv"])
+        a = MX._mxu_batch_scaled_jit(
+            v[:, None, :], plans["e2c"], res_omegas["e2c"], "Fr",
+            domain.extended_ifft_divisor % H.FR_MOD)
+        a = _mont_mul_jit(a[:, 0], consts["zeta_bwd"])
+        return a[:, : domain.n * domain.quotient_poly_degree]
+
+    def convert_eager(inputs):
+        """Single-device MXU conversions as per-16-column-chunk dispatches.
+
+        The monolithic convert graph at SHA-256 scale (~100 columns, k=13)
+        compiles to a ~23 MB executable whose axon remote compile measured
+        180-460 s per process with flaky persistent-cache reuse; the chunk
+        programs are the same small stable-keyed executables as the bench
+        NTT kernels (~7 ms tunnel overhead per dispatch), and the math is
+        value-identical (canonical forms are unique, so the fused 1/n scale
+        equals canonicalize-then-scale bit for bit)."""
+        from ..ops import mxu_ntt as MX
+
+        def l2c_f(x):
+            return MX._mxu_batch_scaled_jit(
+                x, plans["l2c"], res_omegas["l2c"], "Fr",
+                domain.ifft_divisor % H.FR_MOD)
+
+        def c2e_f(x):
+            return _c2e_chunk(x, consts["zeta_fwd"], plans["c2e"],
+                              res_omegas["c2e"], "Fr", size)
+
+        def chunks(x, f, out_n):
+            C = x.shape[1]
+            if C == 0:
+                return jnp.zeros((NLIMB, 0, out_n), dtype=x.dtype)
+            outs = [f(x[:, lo:lo + 16]) for lo in range(0, C, 16)]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+        def conv(x):
+            return chunks(chunks(x, l2c_f, domain.n), c2e_f, size)
+
+        adv_coeff = chunks(inputs["advice"], l2c_f, domain.n)
+        return {
+            "advice": chunks(adv_coeff, c2e_f, size),
+            "advice_coeff": adv_coeff,
+            "instance": conv(inputs["instance"]),
+            "z": conv(inputs["z"]),
+            "lk": conv(inputs["lookups"]),
+            "st": chunks(inputs["static"], c2e_f, size),
+        }
+
     def run(inputs):
         from ..utils.profiling import profiler
+        eager = use_mxu and not is_multidevice(inputs["advice"])
         with profiler.phase("h_convert"):
-            state = convert_jit(inputs, plans, consts)
+            state = (convert_eager(inputs) if eager
+                     else convert_jit(inputs, plans, consts))
             jax.block_until_ready(state["advice"])
         advice_coeff = state.pop("advice_coeff")
         sc = inputs["scalars"]
@@ -411,7 +485,8 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                     values = g(values, state, sc, consts)
             jax.block_until_ready(values)
         with profiler.phase("h_quotient"):
-            out = quotient_jit(values, consts, plans)
+            out = (quotient_eager(values) if eager
+                   else quotient_jit(values, consts, plans))
             jax.block_until_ready(out)
         return out, advice_coeff
 
@@ -455,7 +530,12 @@ def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
         if not cols:
             out = jnp.zeros((NLIMB, 0, n), dtype=D.U32)
         else:
-            out = jnp.stack([D.pack(c, FR) for c in cols], axis=1)
+            # one native pack + ONE host->device transfer for the whole
+            # column stack (a per-column D.pack/jnp.stack paid ~100 tunnel
+            # transfers + a device-side concat: most of h_pack_inputs)
+            flat = [v for c in cols for v in c]
+            out = jnp.asarray(
+                D.np_pack(flat, FR).reshape(NLIMB, len(cols), n))
         if sharding is not None:
             # pad the column axis to a multiple of the mesh size (consumers
             # index columns by position, so zero columns at the end are inert)

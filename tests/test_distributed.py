@@ -221,3 +221,24 @@ def test_sharded_h_vm_2d_mesh():
     sharded = np.asarray(jax.device_get(
         h_vm.run_program_sharded(prog, state, consts, scalars, size, mesh)))
     assert (single == sharded).all()
+
+
+def test_msm_v2_block_scan_matches_host():
+    """The block-scan MSM kernel (ops/msm._window_sums_v2: Blelloch-free
+    block prefix scan + EC-negation bucket boundaries) must agree with the
+    host oracle, including zero scalars and repeated points."""
+    import random
+
+    from sha2cq_tpu.curves import host as CH
+    from sha2cq_tpu.fields import host as H
+    from sha2cq_tpu.ops import msm as M
+
+    rng = random.Random(9)
+    n = 32
+    pts = [CH.g1_mul(CH.G1_GEN, rng.randrange(1, H.FR_MOD)) for _ in range(n)]
+    pts[5] = pts[4]
+    scalars = [rng.randrange(H.FR_MOD) for _ in range(n)]
+    scalars[0] = 0
+    scalars[7] = scalars[6]
+    got = M.msm_device(scalars, pts, c=4, kernel="v2")
+    assert got == CH.g1_msm(scalars, pts)

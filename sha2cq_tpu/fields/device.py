@@ -56,6 +56,7 @@ class FieldCtx:
     r2: int = 0                 # R^2 mod p
     r_limbs: np.ndarray = field(repr=False, default=None)
     r2_limbs: np.ndarray = field(repr=False, default=None)
+    wide: bool = False          # p > 2^255: REDC result may overflow 2^256
 
     @staticmethod
     def make(p: int, name: str) -> "FieldCtx":
@@ -66,6 +67,7 @@ class FieldCtx:
             p=p, name=name,
             p_limbs=_int_to_limbs(p), n0=n0, r=r, r2=r2,
             r_limbs=_int_to_limbs(r), r2_limbs=_int_to_limbs(r2),
+            wide=p > (1 << 255),
         )
 
 
@@ -297,10 +299,13 @@ def _mont_mul_compact(a, b, ctx: FieldCtx):
     acc, _ = jax.lax.scan(step, acc0, a)
     limbs, _ = _carry_canonicalize([acc[i] for i in range(NLIMB + 1)],
                                    NLIMB + 1)
-    limbs = limbs[:NLIMB]  # result < 2p fits 16 limbs (p < 2^254)
+    hi = limbs[NLIMB]
+    limbs = limbs[:NLIMB]  # result < 2p fits 16 limbs when p < 2^255
     plc = [jnp.full_like(limbs[0], x) for x in ctx.p_limbs]
     d, _ = _sub_limbs(limbs, plc)
     need_sub = _geq(limbs, plc)
+    if ctx.wide:
+        need_sub = need_sub | (hi > 0)  # see mont_mul: wide-modulus overflow
     return _stack([jnp.where(need_sub, x, y) for x, y in zip(d, limbs)])
 
 
@@ -346,11 +351,15 @@ def mont_mul(a, b, ctx: FieldCtx = FR):
         cols[i + 1] = cols[i + 1] + (cols[i] >> LIMB_BITS)
     res_cols = [cols[NLIMB + i] for i in range(NLIMB + 1)]
     limbs, carry = _carry_canonicalize(res_cols, NLIMB + 1)
-    # result < 2p fits in 16 limbs; limbs[16] must be zero
+    hi = limbs[NLIMB]          # t < 2p: one overflow bit when p > 2^255
     limbs = limbs[:NLIMB]
     plc = [jnp.full_like(limbs[0], x) for x in ctx.p_limbs]
     d, borrow = _sub_limbs(limbs, plc)
     need_sub = _geq(limbs, plc)
+    if ctx.wide:
+        # p > 2^255 (e.g. secp256k1 Fp/Fq): t can exceed 2^256; the 16-limb
+        # wraparound difference is the correct low 256 bits of t - p
+        need_sub = need_sub | (hi > 0)
     return _stack([jnp.where(need_sub, x, y) for x, y in zip(d, limbs)])
 
 

@@ -536,3 +536,42 @@ def mxu_ntt_batch(a: jnp.ndarray, plan: NttPlan, res_omega, ctx=FR,
         f = _dft_axis1(at, plan, 0, ctx, max_m, res_omega, scale=scale)
         outs.append(jnp.transpose(f, (0, 2, 1)))
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+def mxu_ntt_batch_mapped(a: jnp.ndarray, plan: NttPlan, res_omega, ctx=FR,
+                         max_m: int = MAX_MATMUL, chunk: int = 64,
+                         scale=None) -> jnp.ndarray:
+    """mxu_ntt_batch with `lax.map` column chunking: ONE traced NTT pipeline
+    regardless of C.
+
+    The python-loop variant above unrolls a full digit-matmul pipeline per
+    16-column chunk, so a 220-column SHA-256 convert graph repeats the
+    ~10^4-node pipeline 14x.  Through the axon tunnel the unit of cost is
+    the EXECUTABLE (remote compile/load measured 1.5-9 s per distinct
+    program, occasionally minutes), so the single-device prover fuses its
+    whole h path into one program (plonk/device_eval._h_all) — this variant
+    keeps that program's size independent of the circuit's column count.
+    Zero-padded columns transform to zeros and are sliced off, so values
+    are bit-identical to mxu_ntt_batch.  Per-chunk scratch: the level-0
+    int32 matmul output is 32 * m * chunk * 4 bytes (134 MB at m=16384,
+    chunk=64)."""
+    C, n = a.shape[1], a.shape[2]
+    if C == 0:
+        return a
+    if scale is None:
+        scale = jnp.asarray(ctx.r_limbs, dtype=D.U32).reshape(NLIMB, 1)
+
+    def body(blk):                                     # (16, chunk, n)
+        at = jnp.transpose(blk, (0, 2, 1))
+        f = _dft_axis1(at, plan, 0, ctx, max_m, res_omega, scale=scale)
+        return jnp.transpose(f, (0, 2, 1))
+
+    if C <= chunk:
+        return body(a)
+    pad = (-C) % chunk
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.zeros((NLIMB, pad, n), dtype=a.dtype)], axis=1)
+    nc = (C + pad) // chunk
+    at = jnp.moveaxis(a.reshape(NLIMB, nc, chunk, n), 1, 0)
+    out = jax.lax.map(body, at)                        # (nc, 16, chunk, n)
+    return jnp.moveaxis(out, 0, 1).reshape(NLIMB, nc * chunk, n)[:, :C]

@@ -114,14 +114,19 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
     ext_ifft_div = _const(domain.extended_ifft_divisor)
 
     # ---- per-pk constants, passed as jit arguments (see module docstring) --
+    # column stacks are assembled in NUMPY (one host->device transfer each):
+    # a jnp.stack of per-column packs is a compiled program, and through the
+    # axon tunnel every distinct executable costs 1.5-9 s to load (see run())
+    def np_stack(cols):
+        if not cols:
+            return jnp.zeros((NLIMB, 0, size), dtype=D.U32)
+        flat = [v for c in cols for v in c]
+        return jnp.asarray(D.np_pack(flat, FR).reshape(NLIMB, len(cols), -1))
+
     coset_pts = NTT.powers_host(domain.extended_omega, size, P)
     consts = {
-        "fixed": (jnp.stack([D.pack(c, FR) for c in pk.fixed_cosets], axis=1)
-                  if pk.fixed_cosets
-                  else jnp.zeros((NLIMB, 0, size), dtype=D.U32)),
-        "sigma": (jnp.stack([D.pack(c, FR) for c in pk.permutation.cosets],
-                            axis=1) if pk.permutation.cosets
-                  else jnp.zeros((NLIMB, 0, size), dtype=D.U32)),
+        "fixed": np_stack(pk.fixed_cosets),
+        "sigma": np_stack(pk.permutation.cosets),
         "l0": D.pack(pk.l0, FR),
         "l_last": D.pack(pk.l_last, FR),
         "l_active": D.pack(pk.l_active_row, FR),
@@ -455,9 +460,103 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
             "st": chunks(inputs["static"], c2e_f, size),
         }
 
+    # ---- ONE-PROGRAM single-device path ------------------------------------
+    # Through the axon tunnel the unit of cost is the distinct EXECUTABLE:
+    # loading each compiled program (even a persistent-cache hit) measured
+    # 1.5-9 s, with occasional multi-minute remote-compile stalls, while a
+    # repeat dispatch is ~30 ms.  The eager chunked pipeline above issues
+    # ~25-40 distinct programs per prove (per-chunk NTTs, slices, concats,
+    # group stacking) — ~170 s of pure program-load tax on the SHA-256 k=13
+    # prove whose actual TPU compute is seconds.  This path fuses
+    # conversions + the h-VM + the quotient into ONE stable-keyed program
+    # (lax.map-chunked NTTs keep its size column-count-independent), so a
+    # prove pays the load tax once.
+    def h_all_fn(adv, inst, zc, lkc, static_cols, scal, instrs, cn, pls, dims):
+        (Ca, Ci, Cz, Cl, res_l2c, res_c2e, res_e2c, n_reg, out_reg) = dims
+        from . import h_vm as _h_vm
+        from ..ops import mxu_ntt as MXX
+
+        a32 = jnp.concatenate([adv, inst, zc, lkc], axis=1).astype(D.U32)
+        # lagrange -> coeff with the 1/n divisor fused at the residual level
+        coeff = MXX.mxu_ntt_batch_mapped(
+            a32, pls["l2c"], res_l2c, FR, scale=cn["ifft_div"])
+        ext_in = jnp.concatenate([coeff, static_cols.astype(D.U32)], axis=1)
+        # coeff -> extended-coset evals (zeta scale, pad, forward NTT)
+        z_scaled = D.mont_mul(ext_in, cn["zeta_fwd"][:, None, :], FR)
+        pad = jnp.zeros((NLIMB, z_scaled.shape[1], size - domain.n),
+                        dtype=z_scaled.dtype)
+        ext = MXX.mxu_ntt_batch_mapped(
+            jnp.concatenate([z_scaled, pad], axis=2), pls["c2e"], res_c2e, FR)
+
+        def pad1(a):
+            return a if a.shape[1] else jnp.zeros((NLIMB, 1, size), dtype=D.U32)
+
+        o1, o2, o3 = Ca, Ca + Ci, Ca + Ci + Cz
+        o4 = o3 + Cl
+        groups = {
+            "advice": pad1(ext[:, :Ca]),
+            "instance": pad1(ext[:, o1:o2]),
+            "fixed": pad1(cn["fixed"]),
+            "sigma": pad1(cn["sigma"]),
+            "z": pad1(ext[:, o2:o3]),
+            "lk": pad1(ext[:, o3:o4]),
+            "st": pad1(ext[:, o4:]),
+            "aux": jnp.stack([cn["l0"], cn["l_last"], cn["l_active"],
+                              cn["zeta_times_coset"]], axis=1),
+        }
+        regs0 = jnp.zeros((NLIMB, n_reg, size), dtype=D.U32)
+        regs = _h_vm._vm_scan(instrs, regs0, groups, scal)
+        values = regs[:, out_reg]
+
+        # quotient (identical op order to quotient_eager: canonical forms
+        # are unique, so fused 1/n == canonicalize-then-scale bit for bit)
+        v = D.mont_mul(values, cn["vanishing_inv"], FR)
+        q = MXX.mxu_ntt_batch_mapped(
+            v[:, None, :], pls["e2c"], res_e2c, FR,
+            scale=cn["ext_ifft_div"])[:, 0]
+        q = D.mont_mul(q, cn["zeta_bwd"], FR)
+        h_out = q[:, : domain.n * domain.quotient_poly_degree]
+        # advice coeffs return as u16 (canonical limbs < 2^16): halves the
+        # ~50 MB device->host fetch for the x-eval polynomials
+        return h_out, coeff[:, :Ca].astype(jnp.uint16)
+
+    h_all_jit = jax.jit(h_all_fn, static_argnums=(9,))
+    import os as _os2
+    use_oneprog = (use_mxu and vm_prog is not None and
+                   _os2.environ.get("SHA2CQ_H_ONEPROG", "1") == "1")
+
+    def run_oneprog(inputs):
+        import numpy as np
+        from ..utils.profiling import profiler
+        raw = inputs["scalars_raw"]
+        scal_np = D.np_pack(
+            [raw["y"], raw["beta"], raw["gamma"], raw["theta"]]
+            + list(raw["challenges"]) + list(vm_prog.const_scalars), FR)
+        with profiler.phase("h_oneprog"):
+            dims = (inputs["advice"].shape[1], inputs["instance"].shape[1],
+                    inputs["z"].shape[1], inputs["lookups"].shape[1],
+                    res_omegas["l2c"], res_omegas["c2e"], res_omegas["e2c"],
+                    vm_prog.n_reg, vm_prog.out_reg)
+            cn = dict(consts)
+            cn["ifft_div"] = ifft_div
+            cn["ext_ifft_div"] = ext_ifft_div
+            h_dev, adv_coeff = h_all_jit(
+                inputs["advice"], inputs["instance"], inputs["z"],
+                inputs["lookups"], inputs["static"], jnp.asarray(scal_np),
+                jnp.asarray(vm_prog.instrs), cn, plans, dims)
+            jax.block_until_ready(h_dev)
+        return h_dev, adv_coeff
+
     def run(inputs):
         from ..utils.profiling import profiler
         eager = use_mxu and not is_multidevice(inputs["advice"])
+        if use_oneprog and eager and "scalars_raw" in inputs:
+            return run_oneprog(inputs)
+        inputs = {k: v for k, v in inputs.items() if k != "scalars_raw"}
+        if inputs["advice"].dtype != D.U32:
+            inputs = {k: (v.astype(D.U32) if hasattr(v, "dtype") and
+                          v.dtype == jnp.uint16 else v)
+                      for k, v in inputs.items()}
         with profiler.phase("h_convert"):
             state = (convert_eager(inputs) if eager
                      else convert_jit(inputs, plans, consts))
@@ -527,15 +626,19 @@ def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
         ndev = mesh.devices.size
 
     def stack(cols):
+        # single-device stacks ship as uint16 (the limbs are canonical
+        # 16-bit values): halves the host->device bytes through the ~6 MB/s
+        # tunnel; the fused h program widens them on device
+        dt = np.uint16 if sharding is None else np.uint32
         if not cols:
-            out = jnp.zeros((NLIMB, 0, n), dtype=D.U32)
+            out = jnp.zeros((NLIMB, 0, n), dtype=dt)
         else:
             # one native pack + ONE host->device transfer for the whole
             # column stack (a per-column D.pack/jnp.stack paid ~100 tunnel
             # transfers + a device-side concat: most of h_pack_inputs)
             flat = [v for c in cols for v in c]
             out = jnp.asarray(
-                D.np_pack(flat, FR).reshape(NLIMB, len(cols), n))
+                D.np_pack(flat, FR).reshape(NLIMB, len(cols), n).astype(dt))
         if sharding is not None:
             # pad the column axis to a multiple of the mesh size (consumers
             # index columns by position, so zero columns at the end are inert)
@@ -555,7 +658,8 @@ def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
     for sl in (static_lookups[0] if static_lookups else []):
         st_cols.extend([sl["b"], sl["f"]])
 
-    ch = (jnp.stack([_const(c) for c in challenges], axis=1)
+    ch = (jnp.asarray(D.np_pack(list(challenges), FR)
+                      .reshape(NLIMB, len(challenges), 1))
           if challenges else jnp.zeros((NLIMB, 0, 1), dtype=D.U32))
     return {
         "advice": stack(advice_values[0]),
@@ -566,5 +670,11 @@ def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
         "scalars": {
             "y": _const(y), "beta": _const(beta), "gamma": _const(gamma),
             "theta": _const(theta), "challenges": ch,
+        },
+        # host ints for the one-program path (device_eval.run_oneprog packs
+        # the VM scalar table in numpy — no per-scalar device programs)
+        "scalars_raw": {
+            "y": y, "beta": beta, "gamma": gamma, "theta": theta,
+            "challenges": list(challenges),
         },
     }

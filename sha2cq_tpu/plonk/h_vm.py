@@ -311,10 +311,11 @@ def assemble_h_program(pk) -> Program:
 
 # ------------------------------- device kernel -------------------------------
 
-@functools.partial(jax.jit, donate_argnums=(1,))
-def _vm_run(instrs, regs, groups, scal):
-    """Execute a program: regs (16, NREG, n) donated carry; groups a dict of
-    (16, C, n) column arrays; scal (16, NS) scalar table."""
+def _vm_scan(instrs, regs, groups, scal):
+    """Trace-level VM executor (no jit wrapper): callable from enclosing
+    programs (device_eval._h_all fuses convert + VM + quotient into ONE
+    executable for the axon per-program load tax).  regs (16, NREG, n)
+    carry; groups a dict of (16, C, n) column arrays; scal (16, NS)."""
     def step(regs, ins):
         op, a, b, dst = ins[0], ins[1], ins[2], ins[3]
 
@@ -354,6 +355,13 @@ def _vm_run(instrs, regs, groups, scal):
 
     regs, _ = jax.lax.scan(step, regs, instrs)
     return regs
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _vm_run(instrs, regs, groups, scal):
+    """Standalone jitted VM dispatch (run_program); the fused h program
+    calls _vm_scan directly instead."""
+    return _vm_scan(instrs, regs, groups, scal)
 
 
 def _program_max_shift(prog: Program) -> int:

@@ -200,7 +200,7 @@ def main() -> None:
                 _hl.sha256(msg).digest()
             vk13 = keygen_vk(params13, circuit)
             pk13 = keygen_pk(params13, configs, b0s, vk13, circuit)
-            h_dev = os.environ.get("SHA2CQ_BENCH_SHA_DEVICE", "0") == "1"
+            h_dev = os.environ.get("SHA2CQ_BENCH_SHA_DEVICE", "1") == "1"
             t0 = time.perf_counter()
             proof13 = create_proof(params13, pk13, [circuit], [[digest]],
                                    rng=_random.Random(7), h_device=h_dev)
@@ -209,12 +209,23 @@ def main() -> None:
                                 AccumulatorStrategy(params13,
                                                     rng=_random.Random(8)),
                                 [[digest]], Blake2bRead(proof13)).check()
+            t2s = time.perf_counter()
             extra["sha256_prove_s"] = round(t1s - t0, 2)
-            extra["sha256_verify_s"] = round(time.perf_counter() - t1s, 2)
+            extra["sha256_verify_s"] = round(t2s - t1s, 2)
             extra["sha256_verified"] = bool(ok13)
             extra["sha256_proof_bytes"] = len(proof13)
             extra["sha256_k"] = kk
             extra["sha256_h_device"] = h_dev
+            # warm second prove in the same process: every device program is
+            # loaded, so this is the production prover's steady-state rate
+            # (the cold number above includes the axon per-process program
+            # load/compile tax, which varies wildly with server load)
+            if h_dev and time.perf_counter() - _t_start < WATCHDOG_S - 240:
+                proof_w = create_proof(params13, pk13, [circuit], [[digest]],
+                                       rng=_random.Random(7), h_device=True)
+                extra["sha256_prove_warm_s"] = round(
+                    time.perf_counter() - t2s, 2)
+                assert proof_w == proof13
         else:
             extra["sha256_skipped"] = "no cached table setup on this machine"
     except Exception as e:  # pragma: no cover

@@ -540,10 +540,31 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
             cn = dict(consts)
             cn["ifft_div"] = ifft_div
             cn["ext_ifft_div"] = ext_ifft_div
-            h_dev, adv_coeff = h_all_jit(
-                inputs["advice"], inputs["instance"], inputs["z"],
-                inputs["lookups"], inputs["static"], jnp.asarray(scal_np),
-                jnp.asarray(vm_prog.instrs), cn, plans, dims)
+            args = (inputs["advice"], inputs["instance"], inputs["z"],
+                    inputs["lookups"], inputs["static"], jnp.asarray(scal_np),
+                    jnp.asarray(vm_prog.instrs), cn, plans, dims)
+            if _os2.environ.get("SHA2CQ_H_LOWER_DEBUG"):
+                # persistent-cache-key diagnosis: hash the lowered module and
+                # jax's own cache key; any run-to-run difference here is a
+                # forced remote recompile of the 9 MB fused program
+                import hashlib
+                low = h_all_jit.lower(*args)
+                txt = low.as_text()
+                print("[h_all lower] hlo sha256",
+                      hashlib.sha256(txt.encode()).hexdigest()[:16],
+                      len(txt), flush=True)
+                try:
+                    from jax._src import cache_key as _ck
+                    from jax._src import compiler as _comp
+                    backend = jax.devices()[0].client
+                    opts = _comp.get_compile_options(1, 1)
+                    print("[h_all lower] jax cache key",
+                          _ck.get(low._lowering.stablehlo(), opts, backend)[:16],
+                          flush=True)
+                except Exception as e:
+                    print("[h_all lower] cache key unavailable:",
+                          repr(e)[:80], flush=True)
+            h_dev, adv_coeff = h_all_jit(*args)
             jax.block_until_ready(h_dev)
         return h_dev, adv_coeff
 

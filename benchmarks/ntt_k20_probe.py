@@ -4,8 +4,11 @@ base matrix makes it two clean matmul levels (1 GB int8 digit matrix).
 
 Usage: python benchmarks/ntt_k20_probe.py [k] [runs]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np

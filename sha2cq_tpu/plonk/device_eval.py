@@ -476,17 +476,25 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         from . import h_vm as _h_vm
         from ..ops import mxu_ntt as MXX
 
+        # lax.map chunk sized so the level-0 int32 matmul transient
+        # (32 * n * chunk * 4 B) stays ~128-512 MB: the k=15 SHA-256 h
+        # program OOMed 16 GB HBM by 312 MB at a fixed chunk of 64
+        def pick_chunk(nn):
+            return max(8, min(64, (1 << 20) // nn))
+
         a32 = jnp.concatenate([adv, inst, zc, lkc], axis=1).astype(D.U32)
         # lagrange -> coeff with the 1/n divisor fused at the residual level
         coeff = MXX.mxu_ntt_batch_mapped(
-            a32, pls["l2c"], res_l2c, FR, scale=cn["ifft_div"])
+            a32, pls["l2c"], res_l2c, FR, chunk=pick_chunk(domain.n),
+            scale=cn["ifft_div"])
         ext_in = jnp.concatenate([coeff, static_cols.astype(D.U32)], axis=1)
         # coeff -> extended-coset evals (zeta scale, pad, forward NTT)
         z_scaled = D.mont_mul(ext_in, cn["zeta_fwd"][:, None, :], FR)
         pad = jnp.zeros((NLIMB, z_scaled.shape[1], size - domain.n),
                         dtype=z_scaled.dtype)
         ext = MXX.mxu_ntt_batch_mapped(
-            jnp.concatenate([z_scaled, pad], axis=2), pls["c2e"], res_c2e, FR)
+            jnp.concatenate([z_scaled, pad], axis=2), pls["c2e"], res_c2e, FR,
+            chunk=pick_chunk(size))
 
         def pad1(a):
             return a if a.shape[1] else jnp.zeros((NLIMB, 1, size), dtype=D.U32)

@@ -549,7 +549,8 @@ def mxu_ntt_batch(a: jnp.ndarray, plan: NttPlan, res_omega, ctx=FR,
 
 def mxu_ntt_batch_mapped(a: jnp.ndarray, plan: NttPlan, res_omega, ctx=FR,
                          max_m: int = MAX_MATMUL, chunk: int = 64,
-                         scale=None) -> jnp.ndarray:
+                         scale=None, out_dtype=None, pre_mult=None,
+                         pad_to: int = 0) -> jnp.ndarray:
     """mxu_ntt_batch with `lax.map` column chunking: ONE traced NTT pipeline
     regardless of C.
 
@@ -571,9 +572,25 @@ def mxu_ntt_batch_mapped(a: jnp.ndarray, plan: NttPlan, res_omega, ctx=FR,
         scale = jnp.asarray(ctx.r_limbs, dtype=D.U32).reshape(NLIMB, 1)
 
     def body(blk):                                     # (16, chunk, n)
-        at = jnp.transpose(blk, (0, 2, 1))
+        # the full widen / pre-multiply / zero-pad pipeline runs PER CHUNK:
+        # a whole-stack mont_mul holds ~33 deferred-carry column temps of
+        # the full batch (432 MB each at 212 cols x n=32768 — the k=15
+        # SHA-256 h program's 14.9 GB HBM blowup); per-chunk the working
+        # set is chunk/C of that
+        x = blk.astype(U32)
+        if pre_mult is not None:
+            x = D.mont_mul(x, pre_mult[:, None, :], ctx)
+        if pad_to and pad_to > n:
+            x = jnp.concatenate(
+                [x, jnp.zeros((NLIMB, x.shape[1], pad_to - n), dtype=U32)],
+                axis=2)
+        at = jnp.transpose(x, (0, 2, 1))
         f = _dft_axis1(at, plan, 0, ctx, max_m, res_omega, scale=scale)
-        return jnp.transpose(f, (0, 2, 1))
+        out = jnp.transpose(f, (0, 2, 1))
+        # out_dtype=uint16 narrows per chunk (canonical limbs < 2^16), so
+        # the full u32 result never materializes — callers that hold big
+        # extended-domain state use this to halve its HBM footprint
+        return out.astype(out_dtype) if out_dtype is not None else out
 
     if C <= chunk:
         return body(a)
@@ -583,5 +600,6 @@ def mxu_ntt_batch_mapped(a: jnp.ndarray, plan: NttPlan, res_omega, ctx=FR,
             [a, jnp.zeros((NLIMB, pad, n), dtype=a.dtype)], axis=1)
     nc = (C + pad) // chunk
     at = jnp.moveaxis(a.reshape(NLIMB, nc, chunk, n), 1, 0)
-    out = jax.lax.map(body, at)                        # (nc, 16, chunk, n)
-    return jnp.moveaxis(out, 0, 1).reshape(NLIMB, nc * chunk, n)[:, :C]
+    out = jax.lax.map(body, at)                  # (nc, 16, chunk, n_out)
+    n_out = out.shape[3]
+    return jnp.moveaxis(out, 0, 1).reshape(NLIMB, nc * chunk, n_out)[:, :C]

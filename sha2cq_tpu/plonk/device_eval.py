@@ -118,10 +118,15 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
     # a jnp.stack of per-column packs is a compiled program, and through the
     # axon tunnel every distinct executable costs 1.5-9 s to load (see run())
     def np_stack(cols):
+        # fixed/sigma cosets ship and LIVE as uint16 (canonical limbs are
+        # 16-bit): at SHA-256 k=15 the u32 copies were 377 MB of the HBM
+        # budget the fused h program blew by ~250 MB.  Consumers widen at
+        # the use site (free: XLA fuses the convert into the next op).
         if not cols:
-            return jnp.zeros((NLIMB, 0, size), dtype=D.U32)
+            return jnp.zeros((NLIMB, 0, size), dtype=jnp.uint16)
         flat = [v for c in cols for v in c]
-        return jnp.asarray(D.np_pack(flat, FR).reshape(NLIMB, len(cols), -1))
+        return jnp.asarray(D.np_pack(flat, FR).reshape(NLIMB, len(cols), -1)
+                           .astype(np.uint16))
 
     coset_pts = NTT.powers_host(domain.extended_omega, size, P)
     consts = {
@@ -196,7 +201,8 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
             ops = {
                 "const": lambda v: _const(v),
                 "selector": lambda e: (_ for _ in ()).throw(ValueError("selector")),
-                "fixed": lambda e: roll(cn["fixed"][:, e.column.index], e.rotation),
+                "fixed": lambda e: roll(
+                    cn["fixed"][:, e.column.index].astype(D.U32), e.rotation),
                 "advice": lambda e: roll(advice[:, e.column.index], e.rotation),
                 "instance": lambda e: roll(instance[:, e.column.index], e.rotation),
                 "challenge": lambda e: sc["challenges"][:, e.value],
@@ -219,7 +225,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         if column.kind == "advice":
             return state["advice"][:, column.index]
         if column.kind == "fixed":
-            return cn["fixed"][:, column.index]
+            return cn["fixed"][:, column.index].astype(D.U32)
         return state["instance"][:, column.index]
 
     # ---- term chunking -----------------------------------------------------
@@ -275,7 +281,8 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                 cols = columns[chunk_idx * chunk_len:(chunk_idx + 1) * chunk_len]
                 left = roll(z, 1)
                 for j, column in enumerate(cols):
-                    sigma = cn["sigma"][:, chunk_idx * chunk_len + j]
+                    sigma = cn["sigma"][:, chunk_idx * chunk_len + j] \
+                        .astype(D.U32)
                     vals = col_coset(state, cn, column)
                     left = D.mont_mul(left, D.add(
                         D.add(vals, D.mont_mul(beta, sigma, FR), FR),
@@ -476,28 +483,29 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         from . import h_vm as _h_vm
         from ..ops import mxu_ntt as MXX
 
-        # lax.map chunk sized so the level-0 int32 matmul transient
-        # (32 * n * chunk * 4 B) stays ~128-512 MB: the k=15 SHA-256 h
-        # program OOMed 16 GB HBM by 312 MB at a fixed chunk of 64
+        # lax.map chunk sized so the per-chunk working set (the mont_mul
+        # deferred-carry temps, ~33 x 16*chunk*n*4 B, and the level-0 int32
+        # matmul) stays in the 1-2 GB range: whole-stack ops at k=15 put
+        # the h program 250 MB past the 15.75 GB HBM budget
         def pick_chunk(nn):
             return max(8, min(64, (1 << 20) // nn))
 
-        a32 = jnp.concatenate([adv, inst, zc, lkc], axis=1).astype(D.U32)
-        # lagrange -> coeff with the 1/n divisor fused at the residual level
+        # lagrange -> coeff with the 1/n divisor fused at the residual
+        # level; u16 in (widened per chunk), u16 out (canonical limbs)
+        lag16 = jnp.concatenate([adv, inst, zc, lkc], axis=1)
         coeff = MXX.mxu_ntt_batch_mapped(
-            a32, pls["l2c"], res_l2c, FR, chunk=pick_chunk(domain.n),
-            scale=cn["ifft_div"])
-        ext_in = jnp.concatenate([coeff, static_cols.astype(D.U32)], axis=1)
-        # coeff -> extended-coset evals (zeta scale, pad, forward NTT)
-        z_scaled = D.mont_mul(ext_in, cn["zeta_fwd"][:, None, :], FR)
-        pad = jnp.zeros((NLIMB, z_scaled.shape[1], size - domain.n),
-                        dtype=z_scaled.dtype)
+            lag16, pls["l2c"], res_l2c, FR, chunk=pick_chunk(domain.n),
+            scale=cn["ifft_div"], out_dtype=jnp.uint16)
+        ext_in = jnp.concatenate([coeff, static_cols], axis=1)
+        # coeff -> extended-coset evals: ZETA scale, zero-pad and NTT all
+        # inside the map body (per-chunk working set); u16 extended state
         ext = MXX.mxu_ntt_batch_mapped(
-            jnp.concatenate([z_scaled, pad], axis=2), pls["c2e"], res_c2e, FR,
-            chunk=pick_chunk(size))
+            ext_in, pls["c2e"], res_c2e, FR, chunk=pick_chunk(size),
+            pre_mult=cn["zeta_fwd"], pad_to=size, out_dtype=jnp.uint16)
 
         def pad1(a):
-            return a if a.shape[1] else jnp.zeros((NLIMB, 1, size), dtype=D.U32)
+            return a if a.shape[1] else jnp.zeros((NLIMB, 1, size),
+                                                  dtype=a.dtype)
 
         o1, o2, o3 = Ca, Ca + Ci, Ca + Ci + Cz
         o4 = o3 + Cl
@@ -526,7 +534,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         h_out = q[:, : domain.n * domain.quotient_poly_degree]
         # advice coeffs return as u16 (canonical limbs < 2^16): halves the
         # ~50 MB device->host fetch for the x-eval polynomials
-        return h_out, coeff[:, :Ca].astype(jnp.uint16)
+        return h_out, coeff[:, :Ca]    # already u16 (canonical limbs)
 
     h_all_jit = jax.jit(h_all_fn, static_argnums=(9,))
     import os as _os2

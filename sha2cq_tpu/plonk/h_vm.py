@@ -329,8 +329,11 @@ def _vm_scan(instrs, regs, groups, scal):
 
         def ld(name):
             def f():
+                # groups may be stored as uint16 (canonical limbs) to halve
+                # their HBM footprint; widen per loaded column (no-op for
+                # u32, fused into the roll for u16)
                 col = jax.lax.dynamic_index_in_dim(groups[name], a, axis=1,
-                                                   keepdims=False)
+                                                   keepdims=False).astype(U32)
                 return jnp.roll(col, b, axis=1)
             return f
 
@@ -452,7 +455,7 @@ def build_sharded_vm(prog: Program, mesh, size: int):
             def ld(name):
                 def f():
                     col = jax.lax.dynamic_index_in_dim(
-                        ext[name], a, axis=1, keepdims=False)
+                        ext[name], a, axis=1, keepdims=False).astype(U32)
                     if S == 0:
                         return col
                     return jax.lax.dynamic_slice_in_dim(col, S - b, m, axis=1)

@@ -167,8 +167,6 @@ def main() -> None:
     # riding the cached 32-bit table setup.  Only runs when the multi-hour
     # table cache exists on this machine; never triggers a fresh build.
     try:
-        import hashlib as _hl
-        import random as _random
         from sha2cq_tpu.models.sha.setup32 import _cache_file
         PINNED_S = 0x2b068e00660fd714ab61695867925740388c0d300215adf8c964f5d93e9a76e7
         kk = 13
@@ -178,54 +176,37 @@ def main() -> None:
             extra["sha256_skipped"] = (
                 f"insufficient watchdog budget left ({elapsed:.0f}s elapsed)")
         elif os.path.exists(cache):
-            from sha2cq_tpu.models.sha.circuit32 import Sha256Circuit
-            from sha2cq_tpu.models.sha.setup32 import build_sha256_setup
-            from sha2cq_tpu.models.sha.tables32 import SCHEME32
-            from sha2cq_tpu.plonk import (create_proof, keygen_pk, keygen_vk,
-                                          verify_proof)
-            from sha2cq_tpu.poly.kzg.params import ParamsKZG
-            from sha2cq_tpu.poly.kzg.strategy import AccumulatorStrategy
-            from sha2cq_tpu.utils.transcript import Blake2bRead
-            sys.path.insert(0, os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "benchmarks"))
-            from sha256_bench import pad_message
-            tables, configs, b0s, _srs = build_sha256_setup(
-                SCHEME32, 1 << kk, PINNED_S)
-            params13 = ParamsKZG.setup_from_toxic_waste(kk, PINNED_S)
-            msg = bytes(_random.Random(0x5256).randrange(256)
-                        for _ in range(55))
-            circuit = Sha256Circuit(pad_message(msg), tables)
-            digest = circuit.expected_digest()
-            assert b"".join(d.to_bytes(4, "big") for d in digest) == \
-                _hl.sha256(msg).digest()
-            vk13 = keygen_vk(params13, circuit)
-            pk13 = keygen_pk(params13, configs, b0s, vk13, circuit)
+            # timeboxed SUBPROCESS: the leg must not be able to blow the
+            # shared watchdog and destroy the already-measured primary
+            # metrics (axon remote-compile stalls run to minutes)
+            budget = int(WATCHDOG_S - (time.perf_counter() - _t_start) - 120)
+            env = dict(os.environ)
             h_dev = os.environ.get("SHA2CQ_BENCH_SHA_DEVICE", "1") == "1"
-            t0 = time.perf_counter()
-            proof13 = create_proof(params13, pk13, [circuit], [[digest]],
-                                   rng=_random.Random(7), h_device=h_dev)
-            t1s = time.perf_counter()
-            ok13 = verify_proof(params13, vk13,
-                                AccumulatorStrategy(params13,
-                                                    rng=_random.Random(8)),
-                                [[digest]], Blake2bRead(proof13)).check()
-            t2s = time.perf_counter()
-            extra["sha256_prove_s"] = round(t1s - t0, 2)
-            extra["sha256_verify_s"] = round(t2s - t1s, 2)
-            extra["sha256_verified"] = bool(ok13)
-            extra["sha256_proof_bytes"] = len(proof13)
-            extra["sha256_k"] = kk
-            extra["sha256_h_device"] = h_dev
-            # warm second prove in the same process: every device program is
-            # loaded, so this is the production prover's steady-state rate
-            # (the cold number above includes the axon per-process program
-            # load/compile tax, which varies wildly with server load)
-            if h_dev and time.perf_counter() - _t_start < WATCHDOG_S - 240:
-                proof_w = create_proof(params13, pk13, [circuit], [[digest]],
-                                       rng=_random.Random(7), h_device=True)
-                extra["sha256_prove_warm_s"] = round(
-                    time.perf_counter() - t2s, 2)
-                assert proof_w == proof13
+            env["SHA2CQ_H_DEVICE"] = "1" if h_dev else "0"
+            env["SHA2CQ_BENCH_WARM"] = "1"
+            try:
+                r = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "benchmarks", "sha256_bench.py"),
+                     "1", str(kk)],
+                    env=env, timeout=budget, capture_output=True, text=True)
+                line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+                stats = json.loads(line) if line.startswith("{") else {}
+                if r.returncode == 0 and stats.get("prove_s") is not None:
+                    extra["sha256_prove_s"] = stats["prove_s"]
+                    extra["sha256_verify_s"] = stats["verify_s"]
+                    extra["sha256_verified"] = True  # bench asserts verify
+                    extra["sha256_proof_bytes"] = stats["proof_bytes"]
+                    extra["sha256_k"] = kk
+                    extra["sha256_h_device"] = h_dev
+                    if "prove_warm_s" in stats:
+                        extra["sha256_prove_warm_s"] = stats["prove_warm_s"]
+                else:
+                    extra["sha256_error"] = (
+                        f"rc={r.returncode}: " + r.stdout[-80:].strip())
+            except subprocess.TimeoutExpired:
+                extra["sha256_skipped"] = f"timeboxed at {budget}s"
         else:
             extra["sha256_skipped"] = "no cached table setup on this machine"
     except Exception as e:  # pragma: no cover

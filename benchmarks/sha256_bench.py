@@ -105,6 +105,15 @@ def main():
     stats["verify_s"] = round(time.time() - t0, 1)
     print("verify:", ok, stats["verify_s"], "s")
     assert ok
+
+    if os.environ.get("SHA2CQ_BENCH_WARM", "0") == "1" and h_device:
+        # second prove in the same process: every device program is loaded,
+        # so this is the production prover's steady-state rate
+        t0 = time.time()
+        proof_w = create_proof(params, pk, [circuit], [[digest]],
+                               rng=random.Random(7), h_device=True)
+        stats["prove_warm_s"] = round(time.time() - t0, 2)
+        assert len(proof_w) == len(proof)
     print(json.dumps(stats))
 
 

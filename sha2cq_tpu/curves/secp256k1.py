@@ -179,6 +179,8 @@ def from_bytes(b: bytes) -> Optional[Affine]:
     if b == bytes(33):
         return None
     sign = b[32]
+    if sign not in (0, 1):
+        raise ValueError("non-canonical sign byte")
     x = int.from_bytes(b[:32], "little")
     if x >= FP_MOD:
         raise ValueError("x out of range")

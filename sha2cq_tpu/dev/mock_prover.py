@@ -250,10 +250,7 @@ class MockProver:
         return MockProver(k, cs, assignment)
 
     def _region_of(self, row: int) -> str:
-        for name, lo, hi in self.a.regions:
-            if lo <= row <= hi:
-                return str(name)
-        return "?"
+        return self._loc(row).region or "?"
 
     def _loc(self, row: int) -> FailureLocation:
         for name, lo, hi in self.a.regions:

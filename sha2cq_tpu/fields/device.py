@@ -108,9 +108,11 @@ def unpack(arr, ctx: FieldCtx, mont: bool = True) -> list:
         # silently truncate larger values — checked above; non-canonical
         # arrays fall through to the object-int fold below).
         buf = np.ascontiguousarray(a.T.astype("<u2")).view("<u8")
-        # mont: x * R^{-1} mod p; else scale by R (mont-mul identity) so the
-        # native branch applies the same `% ctx.p` reduction as the fallback
-        scale = pow(ctx.r, ctx.p - 2, ctx.p) if mont else ctx.r % ctx.p
+        # fr_vec_scale computes vals*c mod p PLAIN (it Montgomery-converts c
+        # internally, fieldops.c:1079-1081), so mont exit passes c = R^{-1}
+        # and the mont=False identity passes c = 1 (NOT R — that returned
+        # x*R mod p and silently diverged from the <256-element fallback)
+        scale = pow(ctx.r, ctx.p - 2, ctx.p) if mont else 1
         NL.get_lib().fr_vec_scale(NL._u64p(buf), NL._u64p(NL.fr_buf([scale])), n)
         return NL._np_from_u64_limbs(buf)
     acc = np.zeros(n, dtype=object)

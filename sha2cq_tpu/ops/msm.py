@@ -145,11 +145,9 @@ def _window_sums(points, digits, n: int, c: int = 16):
 
 
 def _neg_y(pt):
-    """Jacobian negation: (X, -Y, Z) — free, used for bucket boundary
-    subtraction (sum over a segment = S[tail] - S[head-1])."""
-    X, Y, Z = pt
-    zero = jnp.zeros_like(Y)
-    return (X, D.sub(zero, Y, FQ), Z)
+    """Jacobian negation (free) for bucket boundary subtraction: sum over a
+    segment = S[tail] - S[head-1].  Delegates to the curve layer."""
+    return PD.point_neg(pt)
 
 
 def pick_window_bits_v2(n: int) -> int:

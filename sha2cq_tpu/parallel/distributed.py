@@ -79,6 +79,37 @@ def _ntt_last_axis(a: jnp.ndarray, twiddles: jnp.ndarray, k: int) -> jnp.ndarray
     return jax.lax.fori_loop(0, k, stage, a)
 
 
+@functools.lru_cache(maxsize=32)
+def _ntt_step_jit(mesh: Mesh, kr: int, kc: int):
+    """Memoized jitted four-step NTT body.  jax.jit caches are keyed on the
+    FUNCTION OBJECT: building the jit(shard_map(...)) closure inside
+    distributed_ntt re-traced and re-compiled the ~25k-HLO program on every
+    call (the exact per-program cost the one-program prover exists to
+    avoid).  Jitting the whole sharded program (vs un-jitted shard_map) is
+    still required: eager shard_map executes each primitive as a separate
+    dispatch across all devices."""
+    def step(m_local, tw_local, tw_r, tw_c):
+        # m_local: (16, R, C/ndev)
+        # 1) local NTT_R along r: move r to last axis
+        s = jnp.moveaxis(m_local, 1, 2)              # (16, C/d, R)
+        s = _ntt_last_axis(s, tw_r, kr)
+        s = jnp.moveaxis(s, 2, 1)                    # (16, R, C/d) : S[k1, c]
+        # 2) twiddle
+        t = D.mont_mul(s, tw_local, FR)
+        # 3) transpose k1 <-> c across chips: all_to_all splits R into ndev
+        #    chunks and concatenates the c chunks
+        u = jax.lax.all_to_all(t, "x", split_axis=1, concat_axis=2, tiled=True)
+        # u: (16, R/d, C) : T[k1 block, all c]
+        u = _ntt_last_axis(u, tw_c, kc)              # DFT over c: U[k1, k2]
+        return u
+
+    spec_in = P_(None, None, "x")
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(spec_in, spec_in, P_(None), P_(None)),
+        out_specs=P_(None, "x", None)))
+
+
 def distributed_ntt(a: jnp.ndarray, omega: int, k: int, mesh: Mesh) -> jnp.ndarray:
     """NTT of a (16, n) array, four-step over the mesh's "x" axis.
 
@@ -97,6 +128,8 @@ def distributed_ntt(a: jnp.ndarray, omega: int, k: int, mesh: Mesh) -> jnp.ndarr
     omega_r = pow(omega, R, H.FR_MOD)      # order C
     tw_r = NTT.twiddle_table(omega_c, kr)  # local NTT_R twiddles
     tw_c = NTT.twiddle_table(omega_r, kc)  # local NTT_C twiddles
+    # (twiddle tables travel as replicated ARGUMENTS so the jitted sharded
+    # step below is memoized per (mesh, kr, kc) — see _ntt_step_jit)
 
     # full twiddle matrix W[k1, c] = omega^{c*k1}, sharded over c
     k1_idx = np.arange(R, dtype=object)
@@ -114,31 +147,7 @@ def distributed_ntt(a: jnp.ndarray, omega: int, k: int, mesh: Mesh) -> jnp.ndarr
 
     # M[r, c] = x[r*C + c]: (16, R, C), shard over c
     M = a.reshape(NLIMB, R, C)
-
-    def step(m_local, tw_local):
-        # m_local: (16, R, C/ndev)
-        # 1) local NTT_R along r: move r to last axis
-        s = jnp.moveaxis(m_local, 1, 2)              # (16, C/d, R)
-        s = _ntt_last_axis(s, tw_r, kr)
-        s = jnp.moveaxis(s, 2, 1)                    # (16, R, C/d) : S[k1, c]
-        # 2) twiddle
-        t = D.mont_mul(s, tw_local, FR)
-        # 3) transpose k1 <-> c across chips: all_to_all splits R into ndev
-        #    chunks and concatenates the c chunks
-        u = jax.lax.all_to_all(t, "x", split_axis=1, concat_axis=2, tiled=True)
-        # u: (16, R/d, C) : T[k1 block, all c]
-        u = _ntt_last_axis(u, tw_c, kc)              # DFT over c: U[k1, k2]
-        return u
-
-    spec_in = P_(None, None, "x")
-    spec_out = P_(None, "x", None)
-    # jit the whole sharded program: un-jitted shard_map executes each
-    # primitive eagerly across all devices (a ~100x dispatch-overhead storm
-    # on the virtual-device CPU mesh; also wrong for TPU, where we want ONE
-    # fused program per step)
-    f = jax.jit(jax.shard_map(step, mesh=mesh,
-                              in_specs=(spec_in, spec_in), out_specs=spec_out))
-    U = f(M, tw_mat)
+    U = _ntt_step_jit(mesh, kr, kc)(M, tw_mat, tw_r, tw_c)
     # out[k] with k = k1 + R*k2  => out = transpose(U) flattened
     return jnp.transpose(U, (0, 2, 1)).reshape(NLIMB, n)
 
@@ -150,41 +159,46 @@ def sharded_msm_window_sums(points, digits: jnp.ndarray, n: int, mesh: Mesh,
     """Per-window bucket-accumulated partial sums with points sharded over
     the mesh; local Pippenger per chip, per-chip partials gathered and folded
     by the Jacobian combiner.  Returns (n_windows, 3, 16) limb sums."""
-    from ..curves import device as PD
-    from ..ops.msm import _window_sums
-
     ndev = mesh.devices.size
     assert n % ndev == 0
+    gathered = _msm_local_jit(mesh, n // ndev, c)(points, digits)
+    return _fold_partials_jit(gathered)
+
+
+@functools.lru_cache(maxsize=32)
+def _msm_local_jit(mesh: Mesh, n_local: int, c: int):
+    """Memoized jitted per-chip window sums (see _ntt_step_jit on why the
+    jit must be built once per (mesh, statics), not per call)."""
+    from ..ops.msm import _window_sums
 
     def local(points_l, digits_l):
-        sums = _window_sums(points_l, digits_l, n // ndev, c)  # (nw, 3, 16)
+        sums = _window_sums(points_l, digits_l, n_local, c)    # (nw, 3, 16)
         return jax.lax.all_gather(sums, "x")                   # (ndev, nw, 3, 16)
 
     spec_pts = (P_(None, "x"),) * 3
-    f = jax.jit(jax.shard_map(local, mesh=mesh,
-                              in_specs=(spec_pts, P_(None, "x")),
-                              out_specs=P_(None), check_vma=False))
-    gathered = f(points, digits)
+    return jax.jit(jax.shard_map(local, mesh=mesh,
+                                 in_specs=(spec_pts, P_(None, "x")),
+                                 out_specs=P_(None), check_vma=False))
 
-    # fold the ndev partials with the unified jacobian add (width = windows).
-    # lax.scan shares ONE point_add body across the ndev-1 adds — an unrolled
-    # loop inlines ~25k HLO per add and blows up the XLA:CPU compile.
-    @jax.jit
-    def fold(g):
-        X = jnp.moveaxis(g[:, :, 0, :], -1, 1)     # (ndev, 16, nw)
-        Y = jnp.moveaxis(g[:, :, 1, :], -1, 1)
-        Z = jnp.moveaxis(g[:, :, 2, :], -1, 1)
 
-        def step(acc, nxt):
-            return PD.point_add(acc, tuple(nxt)), None
+@jax.jit
+def _fold_partials_jit(g):
+    """Fold ndev Jacobian partials (width = windows).  lax.scan shares ONE
+    point_add body across the ndev-1 adds — an unrolled loop inlines ~25k
+    HLO per add and blows up the XLA:CPU compile."""
+    from ..curves import device as PD
+    X = jnp.moveaxis(g[:, :, 0, :], -1, 1)     # (ndev, 16, nw)
+    Y = jnp.moveaxis(g[:, :, 1, :], -1, 1)
+    Z = jnp.moveaxis(g[:, :, 2, :], -1, 1)
 
-        acc, _ = jax.lax.scan(step, (X[0], Y[0], Z[0]),
-                              jnp.stack([X[1:], Y[1:], Z[1:]], axis=1))
-        return jnp.stack([jnp.moveaxis(acc[0], 0, 1),
-                          jnp.moveaxis(acc[1], 0, 1),
-                          jnp.moveaxis(acc[2], 0, 1)], axis=1)  # (nw, 3, 16)
+    def step(acc, nxt):
+        return PD.point_add(acc, tuple(nxt)), None
 
-    return fold(gathered)
+    acc, _ = jax.lax.scan(step, (X[0], Y[0], Z[0]),
+                          jnp.stack([X[1:], Y[1:], Z[1:]], axis=1))
+    return jnp.stack([jnp.moveaxis(acc[0], 0, 1),
+                      jnp.moveaxis(acc[1], 0, 1),
+                      jnp.moveaxis(acc[2], 0, 1)], axis=1)  # (nw, 3, 16)
 
 
 # ------------------- sharded pointwise constraint evaluation ----------------
@@ -193,13 +207,17 @@ def sharded_pointwise_gate(values: jnp.ndarray, sel: jnp.ndarray,
                            y_limbs: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """A fused sharded h-style accumulation step:
     acc' = acc * y + sel * (values^2 - values)  on the sharded domain."""
+    return _pointwise_jit(mesh)(values, sel, y_limbs)
+
+
+@functools.lru_cache(maxsize=32)
+def _pointwise_jit(mesh: Mesh):
     def step(v, s, y):
         sq = D.mont_mul(v, v, FR)
         term = D.mont_mul(s, D.sub(sq, v, FR), FR)
         return D.add(D.mont_mul(v, y, FR), term, FR)
 
     spec = P_(None, "x")
-    f = jax.jit(jax.shard_map(step, mesh=mesh,
-                              in_specs=(spec, spec, P_(None)), out_specs=spec,
-                              check_vma=False))
-    return f(values, sel, y_limbs)
+    return jax.jit(jax.shard_map(step, mesh=mesh,
+                                 in_specs=(spec, spec, P_(None)),
+                                 out_specs=spec, check_vma=False))

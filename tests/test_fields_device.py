@@ -85,3 +85,21 @@ def test_pallas_mont_mul_fallback_and_correctness():
     got = pallas_mont_mul(a, b)
     exp = _mul_fr(a, b)
     assert bool(jnp.all(got == exp))
+
+
+def test_unpack_nonmont_native_branch():
+    """unpack(mont=False) must agree with the object-fold fallback on the
+    NATIVE path (n >= 256): the fr_vec_scale identity constant is 1, not R
+    (fr_vec_scale computes vals*c mod p plain — a scale of R silently
+    returned x*R for large arrays while small arrays were correct)."""
+    import random
+
+    from sha2cq_tpu.fields import device as D
+    from sha2cq_tpu.fields import host as H
+    rng = random.Random(6)
+    xs = [rng.randrange(H.FR_MOD) for _ in range(512)]
+    std = D.pack(xs, D.FR, mont=False)
+    assert D.unpack(std, D.FR, mont=False) == xs
+    # and the Montgomery exit on the same size
+    mont = D.pack(xs, D.FR, mont=True)
+    assert D.unpack(mont, D.FR, mont=True) == xs

@@ -109,10 +109,12 @@ def main():
     if os.environ.get("SHA2CQ_BENCH_WARM", "0") == "1" and h_device:
         # second prove in the same process: every device program is loaded,
         # so this is the production prover's steady-state rate
+        profiler.reset()
         t0 = time.time()
         proof_w = create_proof(params, pk, [circuit], [[digest]],
                                rng=random.Random(7), h_device=True)
         stats["prove_warm_s"] = round(time.time() - t0, 2)
+        print(profiler.report("warm prove phases"))
         assert len(proof_w) == len(proof)
     print(json.dumps(stats))
 

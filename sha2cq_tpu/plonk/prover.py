@@ -172,7 +172,8 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
         for inst_single in instance_singles
     ]
     advice_singles = [
-        {"values": [[0] * n for _ in range(cs.num_advice_columns)]}
+        {"values": [[0] * n for _ in range(cs.num_advice_columns)],
+         "commitments": [None] * cs.num_advice_columns}
         for _ in circuits
     ]
     for phase in phases:
@@ -188,7 +189,9 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                 for row in range(unusable_rows_start, n):
                     col[row] = rng.randrange(P)
                 advice_singles[c_idx]["values"][col_idx] = col
-                transcript.write_point(params.commit_lagrange(col))
+                cm = params.commit_lagrange(col)
+                advice_singles[c_idx]["commitments"][col_idx] = cm
+                transcript.write_point(cm)
         for ch_idx, ch_phase in enumerate(cs.challenge_phase):
             if ch_phase == phase:
                 challenges[ch_idx] = transcript.squeeze_challenge()
@@ -211,10 +214,17 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
     mark("lookup_permute")
     static_committed = []
     for inst_single, adv in zip(instance_singles, advice_singles):
+        # rotation-0 column-query inputs reuse the transcribed column
+        # commitments for [f]_1 (commit_lagrange is linear in the values)
+        col_cms = {("advice", i): cm
+                   for i, cm in enumerate(adv["commitments"]) if cm is not None}
+        col_cms.update({("fixed", i): cm
+                        for i, cm in enumerate(pk.vk.fixed_commitments)})
         static_committed.append([
             static_lookup_commit(
                 arg, pk, params, theta, challenges_list, adv["values"],
-                pk.fixed_values, inst_single["values"], transcript, rng=rng)
+                pk.fixed_values, inst_single["values"], transcript, rng=rng,
+                column_commitments=col_cms)
             for arg in cs.static_lookups
         ])
 

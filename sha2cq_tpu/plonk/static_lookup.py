@@ -33,7 +33,9 @@ simulatable:
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
+
+import numpy as np
 
 from ..curves import host as CH
 from ..fields.host import FR_MOD, batch_inv, inv_mod
@@ -44,12 +46,114 @@ from .evaluation import evaluate_expr_lagrange
 
 P = FR_MOD
 
+# ---- vectorized table-row resolution ---------------------------------------
+# The reference resolves every circuit row's table index through a BTreeMap
+# (static_lookup/prover.rs:132-161); at ~40 lookup arguments x 8k rows per
+# SHA-256 proof that is millions of Python dict operations here.  Instead the
+# (value tuple) -> row-index map is a sorted array of 64-bit limb hashes:
+# rows resolve with one searchsorted + exact limb verification, and only
+# hash-collision/missing rows (≈never) fall back to the dict.
+
+_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                 0x165667B19E3779F9, 0x27D4EB2F165667C5], dtype=np.uint64)
+_FINAL = np.uint64(0xFF51AFD7ED558CCD)
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _limb_hash(buf: np.ndarray) -> np.ndarray:
+    """(n, 4) u64 limb buffer -> (n,) u64 mixed hash (wraparound u64 math)."""
+    with np.errstate(over="ignore"):
+        h = buf[:, 0] * _MIX[0]
+        for j in range(1, 4):
+            h = h ^ (buf[:, j] * _MIX[j])
+        h = h * _FINAL
+        h = h ^ (h >> np.uint64(33))
+    return h
+
+
+def _table_limbs(table) -> np.ndarray:
+    """Cached (N, 4) u64 limb array of a static table's values."""
+    arr = table.__dict__.get("_values_np")
+    if arr is None:
+        from ..native_loader import fr_buf
+        arr = table.__dict__["_values_np"] = fr_buf(table.values)
+    return arr
+
+
+def _joint_hash_index(pk, tables):
+    """Cached (sorted joint hashes, argsort order) for a tuple of component
+    tables; the joint hash Horner-combines per-table row hashes so the same
+    value in different vector positions hashes differently."""
+    cache = pk.__dict__.setdefault("_joint_np", {})
+    key = tuple(id(t) for t in tables)
+    ent = cache.get(key)
+    if ent is None:
+        jh = None
+        with np.errstate(over="ignore"):
+            for t in tables:
+                rh = _limb_hash(_table_limbs(t))
+                jh = rh if jh is None else jh * _GOLD + rh
+        order = np.argsort(jh, kind="stable")
+        ent = cache[key] = (jh[order], order)
+    return ent
+
+
+def _joint_dict(pk, tables) -> dict:
+    """Exact (value tuple) -> row index map; fallback for hash collisions and
+    for error reporting on missing rows.  Built once per table tuple."""
+    cache = pk.__dict__.setdefault("_joint_maps", {})
+    key = tuple(id(t) for t in tables)
+    joint = cache.get(key)
+    if joint is None:
+        joint = {}
+        for i in range(tables[0].size):
+            joint[tuple(t.values[i] for t in tables)] = i
+        cache[key] = joint
+    return joint
+
+
+def _resolve_rows(pk, arg, tables, eval_bufs, evaluated, usable_rows):
+    """Row index of every usable circuit row in the (joint) table, via
+    sorted-hash searchsorted + exact verification (SURVEY §7 stage 7:
+    'value->index lookup as sorted-table searchsorted/gather')."""
+    jh_sorted, order = _joint_hash_index(pk, tables)
+    jh = None
+    with np.errstate(over="ignore"):
+        for buf in eval_bufs:
+            rh = _limb_hash(buf[:usable_rows])
+            jh = rh if jh is None else jh * _GOLD + rh
+    pos = np.searchsorted(jh_sorted, jh)
+    np.clip(pos, 0, len(jh_sorted) - 1, out=pos)
+    cand = order[pos]
+    ok = jh_sorted[pos] == jh
+    for t, buf in zip(tables, eval_bufs):
+        ok &= (_table_limbs(t)[cand] == buf[:usable_rows]).all(axis=1)
+    if not ok.all():
+        joint = _joint_dict(pk, tables)
+        for r in np.nonzero(~ok)[0]:
+            key = tuple(vals[int(r)] % P for vals in evaluated)
+            index = joint.get(key)
+            if index is None:
+                raise ValueError(
+                    f"{key} not a row of tables "
+                    f"{[t.name for t in arg.table_ids]}")
+            cand[int(r)] = index
+    return cand
+
 
 def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
-                         instance, transcript, rng=None) -> dict:
+                         instance, transcript, rng=None,
+                         column_commitments: Optional[dict] = None) -> dict:
     """prover.rs:51-183: evaluate+compress inputs into f, count sparse
-    multiplicities m, commit f (Lagrange MSM) and m (sparse over the table's
-    Lagrange basis)."""
+    multiplicities m, commit f and m (sparse over the table's Lagrange
+    basis).
+
+    column_commitments: optional {("advice"|"fixed", col_index): G1} map of
+    the already-transcribed column commitments.  When every input expression
+    is a plain rotation-0 column query, commit_lagrange is linear so
+    [f]_1 = sum_t theta^{T-1-t} [col_t]_1 — a T-point fold instead of an
+    n-point MSM per argument (the prover writes one such MSM per advice
+    column anyway, prover.rs:299-391)."""
     tables = [pk.static_table_mapping[tid] for tid in arg.table_ids]
     assert all(t.size == tables[0].size for t in tables), \
         "Tables should all be of the same size"
@@ -64,65 +168,28 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
             for e in arg.input_expressions
         ]
     from ..native_loader import fr_buf, fr_unbuf, get_lib, native_fr_fold_buf
-    if get_lib() is not None and n >= 1024:
-        # theta-compression as native Horner folds over (n, 4) u64 buffers
-        import numpy as np
-        acc = np.zeros((n, 4), dtype="<u8")
-        for vals in evaluated:
-            native_fr_fold_buf(acc, fr_buf([v % P for v in vals]), theta)
-        f = fr_unbuf(acc)
-    else:
-        f = [0] * n
-        for vals in evaluated:
-            f = [(a * theta + v) % P for a, v in zip(f, vals)]
+    with profiler.phase("f_fold"):
+        eval_bufs = [fr_buf([v % P for v in vals]) for vals in evaluated]
+        if get_lib() is not None and n >= 1024:
+            # theta-compression as native Horner folds over (n, 4) buffers
+            acc = np.zeros((n, 4), dtype="<u8")
+            for buf in eval_bufs:
+                native_fr_fold_buf(acc, buf, theta)
+            f = fr_unbuf(acc)
+        else:
+            f = [0] * n
+            for vals in evaluated:
+                f = [(a * theta + v) % P for a, v in zip(f, vals)]
 
     bf = pk.vk.cs.blinding_factors()
     usable_rows = n - (bf + 1)
-    m_sparse: Dict[int, int] = {}
-    table_index_value_mappings: List[Dict[int, int]] = [dict() for _ in tables]
-    prof_row = profiler.phase("m_rows")
-    prof_row.__enter__()
-    if all(t.value_index_mapping is not None for t in tables):
-        # fast path: unique-valued tables, per-table index resolution
-        for row in range(usable_rows):
-            idx = None
-            for t_i, (vals, table) in enumerate(zip(evaluated, tables)):
-                fi = vals[row]
-                index = table.value_index_mapping.get(fi)
-                if index is None:
-                    raise ValueError(f"{fi} not in table {arg.table_ids[t_i].name}")
-                table_index_value_mappings[t_i][index] = fi
-                if idx is not None and idx != index:
-                    raise ValueError("Vector lookup must be on the same table row")
-                idx = index
-            m_sparse[idx] = m_sparse.get(idx, 0) + 1
-    else:
-        # joint-tuple resolution: some table has repeated values (e.g. the
-        # SHA rot/maj column-tables); the row index is determined by the
-        # tuple across all component tables.  The map is built once per
-        # argument and cached on the pk (it has up to 2^18 entries and the
-        # 32-bit SHA circuit runs ~40 lookup arguments per proof).
-        cache = getattr(pk, "_joint_maps", None)
-        if cache is None:
-            cache = pk._joint_maps = {}
-        key = tuple(id(t) for t in tables)
-        joint = cache.get(key)
-        if joint is None:
-            joint = {}
-            for i in range(tables[0].size):
-                joint[tuple(t.values[i] for t in tables)] = i
-            cache[key] = joint
-        for row in range(usable_rows):
-            key = tuple(vals[row] for vals in evaluated)
-            index = joint.get(key)
-            if index is None:
-                raise ValueError(
-                    f"{key} not a row of tables {[t.name for t in arg.table_ids]}")
-            for t_i, fi in enumerate(key):
-                table_index_value_mappings[t_i][index] = fi
-            m_sparse[index] = m_sparse.get(index, 0) + 1
+    with profiler.phase("m_rows"):
+        row_idx = _resolve_rows(pk, arg, tables, eval_bufs, evaluated,
+                                usable_rows)
+        counts_full = np.bincount(row_idx, minlength=tables[0].size)
+        idxs = np.nonzero(counts_full)[0]
+        counts = counts_full[idxs]
 
-    prof_row.__exit__(None, None, None)
     zk = getattr(pk.vk.cs, "zk_static_lookups", False)
     zk_c = 0
     if zk:
@@ -131,10 +198,13 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
                              "zv_g1/xn1_g1 (TableSRS.g1_xn) and a prover rng")
         zk_c = rng.randrange(P)
     with profiler.phase("f_m_commits"):
-        f_cm = params.commit_lagrange(f)
-        idxs = sorted(m_sparse)
+        f_cm = None
+        if column_commitments is not None:
+            f_cm = _f_commit_linear(arg, theta, column_commitments)
+        if f_cm is None:
+            f_cm = params.commit_lagrange(f)
         m_cm = M.msm_indexed(
-            [m_sparse[i] for i in idxs], idxs, table_config.g1_lagrange,
+            counts.tolist(), idxs.tolist(), table_config.g1_lagrange,
             packed=M.packed_basis(table_config, "_g1l_packed",
                                   table_config.g1_lagrange))
         if zk:
@@ -143,12 +213,29 @@ def static_lookup_commit(arg, pk, params, theta, challenges, advice, fixed,
     transcript.write_point(m_cm)
     return {
         "f": f,
-        "m_sparse": m_sparse,
+        "idxs": idxs,
+        "counts": counts,
         "table_ids": arg.table_ids,
-        "table_index_value_mappings": table_index_value_mappings,
         "zk_c": zk_c,
         "zk_rng": rng,
     }
+
+
+def _f_commit_linear(arg, theta, column_commitments) -> Optional[CH.G1Affine]:
+    """[f]_1 as the theta-fold of already-computed column commitments; None
+    when any input expression is not a plain rotation-0 column query."""
+    cms = []
+    for e in arg.input_expressions:
+        if e.kind not in ("advice", "fixed") or e.rotation != 0:
+            return None
+        cm = column_commitments.get((e.kind, e.column.index))
+        if cm is None:
+            return None
+        cms.append(cm)
+    f_cm = cms[0]
+    for cm in cms[1:]:
+        f_cm = CH.g1_add(CH.g1_mul(f_cm, theta), cm)
+    return f_cm
 
 
 def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
@@ -164,16 +251,25 @@ def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
     #      = sum_t theta^{T-1-t} (sum_i A_i qs_t[i])
     from ..utils.profiling import profiler
 
-    idxs = sorted(committed["m_sparse"])
+    idxs_np = committed["idxs"]
+    idxs = idxs_np.tolist()
     with profiler.phase("a_vals"):
-        tvs = []
-        for index in idxs:
-            tv = 0
-            for t_i in range(len(tables)):
-                tv = (tv * theta + committed["table_index_value_mappings"][t_i][index]) % P
-            tvs.append(tv)
+        # T_i at the touched indices: theta-Horner over the gathered table
+        # value columns (the resolved row's tuple IS the tables' row tuple)
+        from ..native_loader import fr_unbuf, get_lib, native_fr_fold_buf
+        if get_lib() is not None and len(tables) > 1:
+            acc = _table_limbs(tables[0])[idxs_np].copy()
+            for t in tables[1:]:
+                native_fr_fold_buf(acc, _table_limbs(t)[idxs_np], theta)
+            tvs = fr_unbuf(acc)
+        else:
+            tvs = [0] * len(idxs)
+            for t in tables:
+                vals = t.values
+                tvs = [(tv * theta + vals[i]) % P for tv, i in zip(tvs, idxs)]
         denom_invs = batch_inv([(tv + beta) % P for tv in tvs], P)
-        a_vals = [committed["m_sparse"][i] * dv % P for i, dv in zip(idxs, denom_invs)]
+        a_vals = [int(c) * dv % P
+                  for c, dv in zip(committed["counts"], denom_invs)]
     zk = getattr(pk.vk.cs, "zk_static_lookups", False)
     zk_r = 0
     if zk:

@@ -570,6 +570,37 @@ void g1_msm_indexed(const u64 *points, const long *indices,
     __builtin_free(pts);
 }
 
+/* K independent G1 MSMs in one call, OpenMP-parallel ACROSS jobs (the
+ * per-window pragmas inside g1_msm_core serialize under the outer region).
+ * The prover issues hundreds of small commitment MSMs per proof — advice
+ * columns (prover.rs:299-391) and the per-lookup CQ a/qa/a0/b0/p commits
+ * (static_lookup/prover.rs:187-343); batching them into one call keeps all
+ * cores busy across the whole set instead of ramping a parallel region per
+ * commitment.  Per job j: packed affine basis bases[j], optional index list
+ * indices[j] (NULL = identity), scalars[j], sizes[j]; out + 12*j gets the
+ * Jacobian result. */
+void g1_msm_multi(const u64 **bases, const long **indices,
+                  const u64 **scalars, const long *sizes, long k, u64 *out) {
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(dynamic, 1)
+    #endif
+    for (long j = 0; j < k; j++) {
+        long n = sizes[j];
+        if (n <= 0) {
+            pt id;
+            pt_set_identity(&id);
+            store_pt(out + 12 * j, &id);
+            continue;
+        }
+        pt *pts = (pt *)__builtin_malloc(sizeof(pt) * (size_t)n);
+        const long *idx = indices ? indices[j] : 0;
+        for (long i = 0; i < n; i++)
+            load_pt(&pts[i], bases[j] + 12 * (idx ? idx[i] : i));
+        g1_msm_core(pts, scalars[j], n, out + 12 * j);
+        __builtin_free(pts);
+    }
+}
+
 /* 4-bit fixed-window scalar mul on Montgomery-form points (internal). */
 static void pt_scalar_mul_glv(pt *out, const pt *base, const u64 *scalar);
 
@@ -1057,6 +1088,22 @@ void fr_ntt(u64 *vals, const u64 *twiddles, long n, int k) {
         fr_mul((fr *)(vals + 4 * i), &a[i], &one);  /* from Montgomery */
     __builtin_free(a);
     __builtin_free(tw);
+}
+
+/* K independent same-size NTTs, OpenMP ACROSS transforms (fr_ntt's inner
+ * pragmas are size-gated off at per-proof polynomial sizes).  With ninv
+ * non-NULL each result is scaled by it — i.e. pass the inverse twiddle
+ * table plus 1/n for a batched iNTT (the CQ prover's ~2-per-lookup
+ * lagrange_to_coeff conversions, static_lookup/prover.rs:259-276). */
+void fr_ntt_multi(u64 **vals, const u64 *twiddles, long n, int k,
+                  long count, const u64 *ninv) {
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(dynamic, 1)
+    #endif
+    for (long j = 0; j < count; j++) {
+        fr_ntt(vals[j], twiddles, n, k);
+        if (ninv) fr_vec_scale(vals[j], ninv, n);
+    }
 }
 
 /* acc[i] = acc[i] * v + add[i] (all canonical); add may be NULL or shorter

@@ -78,6 +78,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.bn_pairing_check.restype = ctypes.c_int
         lib.fq_sqrt_batch.argtypes = [U64P, ctypes.c_long, U64P]
         lib.g1_jac_to_affine_batch.argtypes = [U64P, ctypes.c_long, U64P]
+        LP = ctypes.POINTER(ctypes.c_long)
+        lib.g1_msm_multi.argtypes = [ctypes.POINTER(U64P), ctypes.POINTER(LP),
+                                     ctypes.POINTER(U64P), LP,
+                                     ctypes.c_long, U64P]
+        lib.fr_ntt_multi.argtypes = [ctypes.POINTER(U64P), U64P,
+                                     ctypes.c_long, ctypes.c_int,
+                                     ctypes.c_long, U64P]
         _lib = lib
         return lib
     except OSError:
@@ -166,6 +173,67 @@ def native_msm_indexed(scalars: List[int], indices: List[int],
     lib.g1_msm_indexed(packed, idx, _pack_scalars(scalars),
                        ctypes.c_long(n), out)
     return _unpack_jac(out)
+
+
+def native_msm_multi(jobs) -> Optional[List[tuple]]:
+    """K independent MSMs in ONE native call (g1_msm_multi: OpenMP across
+    jobs).  jobs: list of (packed_basis, indices_or_None, scalars_list) —
+    packed_basis from pack_points_affine, scalars reduced mod r by the
+    caller.  Returns a list of Jacobian tuples, or None when native is
+    unavailable or any job's basis isn't packed."""
+    lib = get_lib()
+    if lib is None or any(j[0] is None for j in jobs):
+        return None
+    k = len(jobs)
+    if k == 0:
+        return []
+    U64P = ctypes.POINTER(ctypes.c_uint64)
+    LP = ctypes.POINTER(ctypes.c_long)
+    bases = (U64P * k)()
+    idxs = (LP * k)()
+    scal = (U64P * k)()
+    sizes = (ctypes.c_long * k)()
+    keep = []  # keep per-job buffers alive across the call
+    for j, (packed, indices, scalars) in enumerate(jobs):
+        bases[j] = ctypes.cast(packed, U64P)
+        if indices is None:
+            idxs[j] = None
+        else:
+            ib = (ctypes.c_long * len(indices))(*indices)
+            keep.append(ib)
+            idxs[j] = ctypes.cast(ib, LP)
+        sb = _pack_scalars(scalars)
+        keep.append(sb)
+        scal[j] = ctypes.cast(sb, U64P)
+        sizes[j] = len(scalars)
+    out = (ctypes.c_uint64 * (12 * k))()
+    lib.g1_msm_multi(bases, idxs, scal, sizes, ctypes.c_long(k), out)
+    return [_unpack_jac(out, j) for j in range(k)]
+
+
+def native_fr_ntt_multi(bufs, twiddles_buf, k: int, ninv: Optional[int] = None) -> bool:
+    """In-place NTT of every (n, 4) u64 buffer in bufs (one native call,
+    OpenMP across transforms).  Pass inverse twiddles + ninv = 1/n for a
+    batched iNTT.  Returns False when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    count = len(bufs)
+    if count == 0:
+        return True
+    import numpy as np
+    U64P = ctypes.POINTER(ctypes.c_uint64)
+    ptrs = (U64P * count)()
+    for j, buf in enumerate(bufs):
+        assert buf.flags["C_CONTIGUOUS"]
+        ptrs[j] = _u64p(buf)
+    n = bufs[0].shape[0]
+    ninv_buf = None if ninv is None else fr_buf([ninv])
+    lib.fr_ntt_multi(ptrs, _u64p(np.ascontiguousarray(twiddles_buf)),
+                     ctypes.c_long(n), ctypes.c_int(k),
+                     ctypes.c_long(count),
+                     None if ninv_buf is None else _u64p(ninv_buf))
+    return True
 
 
 def native_batch_scalar_mul(points_jac, scalars: List[int]):

@@ -372,6 +372,35 @@ def packed_basis(obj, attr: str, points):
     return obj.__dict__[attr]
 
 
+def msm_multi(jobs) -> list:
+    """Many independent MSMs in ONE native call (g1_msm_multi, OpenMP across
+    jobs) — the prover's per-phase commitment batches.  jobs: list of
+    (packed_basis, indices_or_None, scalars, fallback_points); falls back to
+    the per-job host path when native is unavailable.  Returns G1Affine (or
+    None for empty jobs) per job."""
+    out: list = [None] * len(jobs)
+    native = [(j, job) for j, job in enumerate(jobs)
+              if len(job[2]) > 0 and job[0] is not None]
+    rest = [(j, job) for j, job in enumerate(jobs)
+            if len(job[2]) > 0 and job[0] is None]
+    if native:
+        from ..native_loader import native_msm_multi
+        reduced = [(packed, indices, [s % H.FR_MOD for s in scalars])
+                   for _, (packed, indices, scalars, _pts) in native]
+        res = native_msm_multi(reduced)
+        if res is not None:
+            for (j, _), jac in zip(native, res):
+                out[j] = CH.jac_to_affine(jac)
+        else:
+            rest = native + rest
+    for j, (packed, indices, scalars, pts) in rest:
+        if indices is None:
+            out[j] = msm_host(list(scalars), pts, packed=packed)
+        else:
+            out[j] = msm_indexed(scalars, indices, pts, packed=packed)
+    return out
+
+
 def msm_indexed(scalars: Sequence[int], indices: Sequence[int], points,
                 packed=None) -> CH.G1Affine:
     """sum_i scalars[i] * points[indices[i]]; native indexed kernel over a

@@ -34,9 +34,9 @@ from .lookup_arg import (lookup_commit_permuted, lookup_commit_product,
 from .permutation import (permutation_commit, permutation_evaluate,
                           permutation_open, permutation_pk_evaluate,
                           permutation_pk_open)
-from .static_lookup import (static_lookup_commit,
-                            static_lookup_commit_log_derivatives,
-                            static_lookup_evaluate, static_lookup_open)
+from .static_lookup import (static_lookup_commit_all,
+                            static_lookup_evaluate, static_lookup_open,
+                            static_lookup_log_derivatives_all)
 from .vanishing import (vanishing_commit, vanishing_construct,
                         vanishing_evaluate, vanishing_open)
 
@@ -182,6 +182,10 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
             witness.current_phase = phase
             planner_for(circuit).synthesize(
                 witness, circuit, configs[c_idx], cs.constants)
+            # blind every phase column (rng order preserved), then commit
+            # them all in ONE native multi-MSM call before transcribing in
+            # column order (prover.rs:299-391 batches the same way)
+            phase_cols = []
             for col_idx, col_phase in enumerate(cs.advice_column_phase):
                 if col_phase != phase:
                     continue
@@ -189,7 +193,9 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                 for row in range(unusable_rows_start, n):
                     col[row] = rng.randrange(P)
                 advice_singles[c_idx]["values"][col_idx] = col
-                cm = params.commit_lagrange(col)
+                phase_cols.append((col_idx, col))
+            cms = params.commit_lagrange_many([c for _, c in phase_cols])
+            for (col_idx, _), cm in zip(phase_cols, cms):
                 advice_singles[c_idx]["commitments"][col_idx] = cm
                 transcript.write_point(cm)
         for ch_idx, ch_phase in enumerate(cs.challenge_phase):
@@ -220,13 +226,10 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                    for i, cm in enumerate(adv["commitments"]) if cm is not None}
         col_cms.update({("fixed", i): cm
                         for i, cm in enumerate(pk.vk.fixed_commitments)})
-        static_committed.append([
-            static_lookup_commit(
-                arg, pk, params, theta, challenges_list, adv["values"],
-                pk.fixed_values, inst_single["values"], transcript, rng=rng,
-                column_commitments=col_cms)
-            for arg in cs.static_lookups
-        ])
+        static_committed.append(static_lookup_commit_all(
+            cs.static_lookups, pk, params, theta, challenges_list,
+            adv["values"], pk.fixed_values, inst_single["values"],
+            transcript, rng=rng, column_commitments=col_cms))
 
     mark("cq_commit_f_m")
     # ---- beta, gamma; permutations; products; CQ log derivatives --------
@@ -248,8 +251,8 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
 
     mark("lookup_grand_products")
     static_log = [
-        [static_lookup_commit_log_derivatives(c, pk, params, domain, beta, theta, transcript)
-         for c in per_circuit]
+        static_lookup_log_derivatives_all(
+            per_circuit, pk, params, domain, beta, theta, transcript)
         for per_circuit in static_committed
     ]
 

@@ -350,6 +350,220 @@ def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
     return {"b": b_poly, "b0": b0_poly, "f": f_poly, "a_at_zero": a_at_zero}
 
 
+# ---- batched prover phases --------------------------------------------------
+# The flagship SHA-256 circuit runs ~40 static lookup arguments per proof;
+# per-argument native calls leave cores idle between commitments.  The *_all
+# variants below produce byte-identical transcripts while batching across
+# arguments: one concatenated batch inversion per side, one multi-NTT call
+# for every B/f lagrange_to_coeff, and ONE g1_msm_multi over all sparse and
+# dense commitment MSMs (VERDICT r3 item 1).
+
+def static_lookup_commit_all(args, pk, params, theta, challenges, advice,
+                             fixed, instance, transcript, rng=None,
+                             column_commitments: Optional[dict] = None
+                             ) -> List[dict]:
+    from ..native_loader import fr_buf, fr_unbuf, get_lib, native_fr_fold_buf
+    from ..utils.profiling import profiler
+    args = list(args)
+    if not args:
+        return []
+    zk = getattr(pk.vk.cs, "zk_static_lookups", False)
+    if zk or get_lib() is None or params.n < 1024:
+        # zk draws rng per argument interleaved with commits; keep the
+        # audited per-argument path for it (and for tiny/no-native runs)
+        return [static_lookup_commit(
+                    arg, pk, params, theta, challenges, advice, fixed,
+                    instance, transcript, rng=rng,
+                    column_commitments=column_commitments)
+                for arg in args]
+
+    n = params.n
+    bf = pk.vk.cs.blinding_factors()
+    usable_rows = n - (bf + 1)
+    results: List[dict] = []
+    jobs = []        # interleaved [f_job?, m_job] per argument
+    job_of = []      # (arg_index, kind)
+    for a_i, arg in enumerate(args):
+        tables = [pk.static_table_mapping[tid] for tid in arg.table_ids]
+        assert all(t.size == tables[0].size for t in tables), \
+            "Tables should all be of the same size"
+        table_config = pk.static_table_configs[tables[0].size]
+        with profiler.phase("eval_inputs"):
+            evaluated = [
+                evaluate_expr_lagrange(e, n, fixed, advice, instance,
+                                       challenges)
+                for e in arg.input_expressions
+            ]
+        with profiler.phase("f_fold"):
+            eval_bufs = [fr_buf([v % P for v in vals]) for vals in evaluated]
+            acc = np.zeros((n, 4), dtype="<u8")
+            for buf in eval_bufs:
+                native_fr_fold_buf(acc, buf, theta)
+            f = fr_unbuf(acc)
+        with profiler.phase("m_rows"):
+            row_idx = _resolve_rows(pk, arg, tables, eval_bufs, evaluated,
+                                    usable_rows)
+            counts_full = np.bincount(row_idx, minlength=tables[0].size)
+            idxs = np.nonzero(counts_full)[0]
+            counts = counts_full[idxs]
+        f_cm = None
+        if column_commitments is not None:
+            f_cm = _f_commit_linear(arg, theta, column_commitments)
+        if f_cm is None:
+            jobs.append((M.packed_basis(params, "_g_lagrange_packed",
+                                        params.g_lagrange),
+                         None, f, params.g_lagrange))
+            job_of.append((a_i, "f"))
+        jobs.append((M.packed_basis(table_config, "_g1l_packed",
+                                    table_config.g1_lagrange),
+                     idxs.tolist(), counts.tolist(),
+                     table_config.g1_lagrange))
+        job_of.append((a_i, "m"))
+        results.append({
+            "f": f,
+            "f_cm": f_cm,
+            "idxs": idxs,
+            "counts": counts,
+            "table_ids": arg.table_ids,
+            "zk_c": 0,
+            "zk_rng": rng,
+        })
+    with profiler.phase("f_m_commits"):
+        cms = M.msm_multi(jobs)
+    for (a_i, kind), cm in zip(job_of, cms):
+        results[a_i]["f_cm" if kind == "f" else "m_cm"] = cm
+    for r in results:
+        transcript.write_point(r["f_cm"])
+        transcript.write_point(r.pop("m_cm"))
+        r.pop("f_cm")
+    return results
+
+
+def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
+                                      beta, theta, transcript) -> List[dict]:
+    from ..native_loader import (fr_buf, fr_unbuf, get_lib,
+                                 native_fr_fold_buf, native_fr_ntt_multi)
+    from ..ops.ntt import _host_twiddle_buf
+    from ..utils.profiling import profiler
+    committed_list = list(committed_list)
+    if not committed_list:
+        return []
+    zk = getattr(pk.vk.cs, "zk_static_lookups", False)
+    if zk or get_lib() is None or params.n < 1024:
+        return [static_lookup_commit_log_derivatives(
+                    c, pk, params, domain, beta, theta, transcript)
+                for c in committed_list]
+
+    n = params.n
+    bf = pk.vk.cs.blinding_factors()
+    usable_rows = n - (bf + 1)
+    beta_inv = inv_mod(beta, P)
+
+    # ---- A side: gathered T_i folds, ONE concatenated batch inversion
+    with profiler.phase("a_vals"):
+        per_tables = []
+        concat: List[int] = []
+        split = [0]
+        for c in committed_list:
+            tables = [pk.static_table_mapping[tid] for tid in c["table_ids"]]
+            idxs_np = c["idxs"]
+            acc = _table_limbs(tables[0])[idxs_np].copy()
+            for t in tables[1:]:
+                native_fr_fold_buf(acc, _table_limbs(t)[idxs_np], theta)
+            tvs = fr_unbuf(acc)
+            concat.extend((tv + beta) % P for tv in tvs)
+            split.append(len(concat))
+            per_tables.append(tables)
+        invs = batch_inv(concat, P)
+        a_vals_per = [
+            [int(cnt) * dv % P
+             for cnt, dv in zip(c["counts"], invs[split[i]:split[i + 1]])]
+            for i, c in enumerate(committed_list)
+        ]
+
+    # ---- B side: ONE concatenated inversion of every argument's f rows
+    with profiler.phase("b_side"):
+        fconcat: List[int] = []
+        for c in committed_list:
+            fconcat.extend((fi + beta) % P for fi in c["f"][:usable_rows])
+        finvs = batch_inv(fconcat, P)
+
+        # batched iNTT: every argument's B evals and f evals to coeffs
+        omega_inv = pow(domain.omega, P - 2, P)
+        tw_inv = _host_twiddle_buf(omega_inv, n, P)
+        n_inv = inv_mod(n, P)
+        b_bufs, f_bufs = [], []
+        tail = [beta_inv] * (bf + 1)
+        for i, c in enumerate(committed_list):
+            bs = finvs[i * usable_rows:(i + 1) * usable_rows] + tail
+            b_bufs.append(fr_buf(bs))
+            f_bufs.append(fr_buf([v % P for v in c["f"]]))
+        native_fr_ntt_multi(b_bufs + f_bufs, tw_inv, domain.k, ninv=n_inv)
+        b_polys = [fr_unbuf(b) for b in b_bufs]
+        f_polys = [fr_unbuf(b) for b in f_bufs]
+
+    # ---- every commitment MSM of the phase in ONE native call
+    with profiler.phase("cq_msms"):
+        jobs = []
+        job_of = []
+        g_packed = M.packed_basis(params, "_g_packed", params.g)
+        bound_packed = M.packed_basis(pk, "_b0_bound_packed", pk.b0_g1_bound)
+        for i, c in enumerate(committed_list):
+            tables = per_tables[i]
+            table_config = pk.static_table_configs[tables[0].size]
+            idxs = c["idxs"].tolist()
+            a_vals = a_vals_per[i]
+            jobs.append((M.packed_basis(table_config, "_g1l_packed",
+                                        table_config.g1_lagrange),
+                         idxs, a_vals, table_config.g1_lagrange))
+            job_of.append((i, "a"))
+            jobs.append((M.packed_basis(table_config, "_g1l0_packed",
+                                        table_config.g_lagrange_opening_at_0),
+                         idxs, a_vals, table_config.g_lagrange_opening_at_0))
+            job_of.append((i, "a0"))
+            for t_i, table in enumerate(tables):
+                jobs.append((M.packed_basis(table, "_qs_packed", table.qs),
+                             idxs, a_vals, table.qs))
+                job_of.append((i, ("qa", t_i)))
+            b0_coeffs = b_polys[i][1:]
+            jobs.append((g_packed, None, b0_coeffs + [0], params.g))
+            job_of.append((i, "b0"))
+            jobs.append((bound_packed, None, b0_coeffs,
+                         pk.b0_g1_bound[: len(b0_coeffs)]))
+            job_of.append((i, "p"))
+        cms = M.msm_multi(jobs)
+
+    out: List[dict] = []
+    by_arg: List[dict] = [dict() for _ in committed_list]
+    for (i, kind), cm in zip(job_of, cms):
+        if isinstance(kind, tuple):
+            by_arg[i].setdefault("qa_parts", {})[kind[1]] = cm
+        else:
+            by_arg[i][kind] = cm
+    n_table_inv_cache: Dict[int, int] = {}
+    for i, c in enumerate(committed_list):
+        got = by_arg[i]
+        qa_cm = None
+        for t_i in range(len(per_tables[i])):
+            part = got["qa_parts"][t_i]
+            qa_cm = CH.g1_add(CH.g1_mul(qa_cm, theta) if qa_cm else None,
+                              part)
+        transcript.write_point(got["a"])
+        transcript.write_point(qa_cm)
+        transcript.write_point(got["a0"])
+        transcript.write_point(got["b0"])
+        transcript.write_point(got["p"])
+        b_poly = b_polys[i]
+        size = per_tables[i][0].size
+        n_t_inv = n_table_inv_cache.get(size)
+        if n_t_inv is None:
+            n_t_inv = n_table_inv_cache[size] = inv_mod(size, P)
+        a_at_zero = ((b_poly[0] * n - (bf + 1) * beta_inv) % P) * n_t_inv % P
+        out.append({"b": b_poly, "b0": b_poly[1:] + [0], "f": f_polys[i],
+                    "a_at_zero": a_at_zero})
+    return out
+
+
 def static_lookup_evaluate(constructed: dict, x: int, transcript) -> dict:
     b0_eval = A.eval_polynomial(constructed["b0"], x)
     f_eval = A.eval_polynomial(constructed["f"], x)

@@ -99,6 +99,14 @@ class ParamsKZG:
                      packed=M.packed_basis(self, "_g_lagrange_packed",
                                            self.g_lagrange))
 
+    def commit_lagrange_many(self, columns) -> list:
+        """Batch commit_lagrange over many value lists: one native
+        g1_msm_multi call, OpenMP across columns (the prover's per-phase
+        advice commitment batch)."""
+        packed = M.packed_basis(self, "_g_lagrange_packed", self.g_lagrange)
+        return M.msm_multi([(packed, None, col, self.g_lagrange)
+                            for col in columns])
+
     def verifier_params(self) -> "ParamsKZG":
         return self
 

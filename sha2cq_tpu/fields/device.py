@@ -124,6 +124,24 @@ def unpack(arr, ctx: FieldCtx, mont: bool = True) -> list:
     return [int(v) % ctx.p for v in acc]
 
 
+def unpack_buf(arr, ctx: FieldCtx, mont: bool = True) -> "np.ndarray":
+    """uint32[16, *batch] -> (n, 4) canonical u64 limb buffer (flattened
+    batch, C order) — the buffer-resident sibling of unpack(): downstream
+    consumers (gwc folds, native Horner evals, multi-MSMs) operate on limb
+    buffers, so skipping the bigint round trip saves ~2 s/proof of
+    conversions at SHA-256 k=13 shapes."""
+    a = np.asarray(jax.device_get(arr)).reshape(NLIMB, -1)
+    n = a.shape[1]
+    NL = _native_lib(ctx, n)
+    if NL is not None and (a <= 0xFFFF).all():
+        buf = np.ascontiguousarray(a.T.astype("<u2")).view("<u8")
+        scale = pow(ctx.r, ctx.p - 2, ctx.p) if mont else 1
+        NL.get_lib().fr_vec_scale(NL._u64p(buf), NL._u64p(NL.fr_buf([scale])), n)
+        return buf
+    from ..native_loader import _np_u64_limbs
+    return _np_u64_limbs(unpack(arr, ctx, mont=mont), 4)
+
+
 def pack_scalar(v: int, ctx: FieldCtx, mont: bool = True) -> jnp.ndarray:
     return pack([v], ctx, mont=mont)[:, 0]
 
@@ -413,6 +431,22 @@ def inv(a, ctx: FieldCtx = FR):
 def mul_scalar(a, scalar_limbs, ctx: FieldCtx = FR):
     """Multiply a whole array by one Montgomery-form scalar (16,)."""
     return mont_mul(a, scalar_limbs.reshape((NLIMB,) + (1,) * (a.ndim - 1)), ctx)
+
+
+def np_pack_buf(buf: np.ndarray, ctx: FieldCtx, mont: bool = True) -> np.ndarray:
+    """(n, 4) canonical u64 limb buffer -> uint32[16, n] (Montgomery by
+    default) without the bigint round trip of np_pack."""
+    n = buf.shape[0]
+    NL = _native_lib(ctx, n)
+    if NL is None:
+        from ..native_loader import _np_from_u64_limbs
+        return np_pack(_np_from_u64_limbs(buf), ctx, mont=mont)
+    work = np.ascontiguousarray(buf).copy()
+    if mont:
+        NL.get_lib().fr_vec_scale(
+            NL._u64p(work), NL._u64p(NL.fr_buf([ctx.r % ctx.p])), n)
+    return np.ascontiguousarray(
+        work.view("<u2").reshape(n, NLIMB).T).astype(np.uint32)
 
 
 def np_pack(values: Sequence[int], ctx: FieldCtx, mont: bool = True) -> np.ndarray:

@@ -193,6 +193,7 @@ def native_msm_multi(jobs) -> Optional[List[tuple]]:
     idxs = (LP * k)()
     scal = (U64P * k)()
     sizes = (ctypes.c_long * k)()
+    import numpy as np
     keep = []  # keep per-job buffers alive across the call
     for j, (packed, indices, scalars) in enumerate(jobs):
         bases[j] = ctypes.cast(packed, U64P)
@@ -202,10 +203,17 @@ def native_msm_multi(jobs) -> Optional[List[tuple]]:
             ib = (ctypes.c_long * len(indices))(*indices)
             keep.append(ib)
             idxs[j] = ctypes.cast(ib, LP)
-        sb = _pack_scalars(scalars)
-        keep.append(sb)
-        scal[j] = ctypes.cast(sb, U64P)
-        sizes[j] = len(scalars)
+        if isinstance(scalars, np.ndarray):
+            # canonical (n, 4) u64 limb buffer — used directly, no packing
+            buf = np.ascontiguousarray(scalars)
+            keep.append(buf)
+            scal[j] = _u64p(buf)
+            sizes[j] = buf.shape[0]
+        else:
+            sb = _pack_scalars(scalars)
+            keep.append(sb)
+            scal[j] = ctypes.cast(sb, U64P)
+            sizes[j] = len(scalars)
     out = (ctypes.c_uint64 * (12 * k))()
     lib.g1_msm_multi(bases, idxs, scal, sizes, ctypes.c_long(k), out)
     return [_unpack_jac(out, j) for j in range(k)]
@@ -500,6 +508,16 @@ def native_fr_kate_buf(buf, b: int):
     bb = fr_buf([b])
     lib.fr_kate_div(_u64p(buf), ctypes.c_long(n), _u64p(bb), _u64p(out))
     return out
+
+
+def native_fr_batch_inv_buf(buf) -> bool:
+    """In-place Montgomery batch inversion of a (n, 4) u64 buffer (zeros
+    stay zero).  Returns False when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.fr_batch_inv(_u64p(buf), ctypes.c_long(buf.shape[0]))
+    return True
 
 
 def native_fr_batch_inv(values: List[int]) -> Optional[List[int]]:

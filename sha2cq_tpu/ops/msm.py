@@ -385,7 +385,9 @@ def msm_multi(jobs) -> list:
             if len(job[2]) > 0 and job[0] is None]
     if native:
         from ..native_loader import native_msm_multi
-        reduced = [(packed, indices, [s % H.FR_MOD for s in scalars])
+        reduced = [(packed, indices,
+                    scalars if isinstance(scalars, np.ndarray)
+                    else [s % H.FR_MOD for s in scalars])
                    for _, (packed, indices, scalars, _pts) in native]
         res = native_msm_multi(reduced)
         if res is not None:
@@ -394,6 +396,9 @@ def msm_multi(jobs) -> list:
         else:
             rest = native + rest
     for j, (packed, indices, scalars, pts) in rest:
+        if isinstance(scalars, np.ndarray):
+            from ..native_loader import fr_unbuf
+            scalars = fr_unbuf(scalars)
         if indices is None:
             out[j] = msm_host(list(scalars), pts, packed=packed)
         else:

@@ -672,10 +672,18 @@ def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
         else:
             # one native pack + ONE host->device transfer for the whole
             # column stack (a per-column D.pack/jnp.stack paid ~100 tunnel
-            # transfers + a device-side concat: most of h_pack_inputs)
-            flat = [v for c in cols for v in c]
-            out = jnp.asarray(
-                D.np_pack(flat, FR).reshape(NLIMB, len(cols), n).astype(dt))
+            # transfers + a device-side concat: most of h_pack_inputs).
+            # Columns arrive as int lists or canonical (n, 4) limb buffers
+            # (arith.as_coeff_list form) — buffers pack without a bigint
+            # round trip.
+            if all(isinstance(c, np.ndarray) for c in cols):
+                packed = D.np_pack_buf(np.concatenate(cols), FR)
+            else:
+                from ..poly.arith import as_coeff_list
+                flat = [v for c in (as_coeff_list(c) for c in cols)
+                        for v in c]
+                packed = D.np_pack(flat, FR)
+            out = jnp.asarray(packed.reshape(NLIMB, len(cols), n).astype(dt))
         if sharding is not None:
             # pad the column axis to a multiple of the mesh size (consumers
             # index columns by position, so zero columns at the end are inert)

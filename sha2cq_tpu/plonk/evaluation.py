@@ -225,8 +225,9 @@ def evaluate_h(pk, advice_cosets, instance_cosets, challenges, y, beta, gamma,
         # by l_active so B's random blinding rows are unconstrained
         # (static_lookup.py module docstring)
         for sl in (static_c or []):
-            b_coset = domain.coeff_to_extended_host(sl["b"])
-            f_coset = domain.coeff_to_extended_host(sl["f"])
+            from ..poly.arith import as_coeff_list
+            b_coset = domain.coeff_to_extended_host(as_coeff_list(sl["b"]))
+            f_coset = domain.coeff_to_extended_host(as_coeff_list(sl["f"]))
             if getattr(cs, "zk_static_lookups", False):
                 values = [
                     (v * y + l_active[i] *

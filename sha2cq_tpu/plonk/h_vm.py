@@ -181,6 +181,25 @@ class _Asm:
 
 # ----------------------------- program assembly ------------------------------
 
+def program_y_fold_count(pk) -> int:
+    """Number of y-Horner folds the h program performs for ONE circuit —
+    each `fold` below multiplies the whole accumulator by y exactly once, so
+    a multi-circuit proof combines per-circuit quotients as
+    h = sum_c h_c * y^{T*(nc-1-c)} (the prover's circuit-major accumulation,
+    reference evaluation.rs:285-374).  Must mirror assemble_h_program's (and
+    evaluate_h's) term emission exactly."""
+    cs = pk.vk.cs
+    t = sum(len(g.polys) for g in cs.gates)
+    columns = cs.permutation.columns
+    chunk_len = max(pk.vk.cs_degree - 2, 1)
+    num_sets = (len(columns) + chunk_len - 1) // chunk_len if columns else 0
+    if num_sets:
+        t += 2 + (num_sets - 1) + num_sets
+    t += 5 * len(cs.lookups)
+    t += len(cs.static_lookups)
+    return t
+
+
 def assemble_h_program(pk) -> Program:
     """Compile pk's constraint system into a VM program.  Term order matches
     plonk/device_eval.build_h_fn exactly (gates, permutation head/boundaries/

@@ -48,6 +48,21 @@ class _SystemRng:
         return secrets.randbelow(n)
 
 
+def _fixed_poly_bufs(pk, n: int):
+    """pk.fixed_polys as cached (n, 4) limb buffers (arith.as_coeff_list
+    form) — they are opened at x in every proof, so the one-time pack saves
+    a per-proof bigint conversion in the eval + multiopen phases."""
+    bufs = pk.__dict__.get("_fixed_poly_bufs")
+    if bufs is None:
+        from ..native_loader import fr_buf, get_lib
+        if get_lib() is None or n < 1024:
+            bufs = pk.fixed_polys
+        else:
+            bufs = [fr_buf([c % P for c in poly]) for poly in pk.fixed_polys]
+        pk.__dict__["_fixed_poly_bufs"] = bufs
+    return bufs
+
+
 class _WitnessCollection:
     """Assignment sink for witness generation (prover.rs:139-392)."""
 
@@ -173,9 +188,12 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
     ]
     advice_singles = [
         {"values": [[0] * n for _ in range(cs.num_advice_columns)],
+         "bufs": [None] * cs.num_advice_columns,
          "commitments": [None] * cs.num_advice_columns}
         for _ in circuits
     ]
+    from ..native_loader import fr_buf, get_lib
+    use_bufs = get_lib() is not None and n >= 1024
     for phase in phases:
         for c_idx, circuit in enumerate(circuits):
             witness = witnesses[c_idx]
@@ -184,7 +202,9 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                 witness, circuit, configs[c_idx], cs.constants)
             # blind every phase column (rng order preserved), then commit
             # them all in ONE native multi-MSM call before transcribing in
-            # column order (prover.rs:299-391 batches the same way)
+            # column order (prover.rs:299-391 batches the same way).  Each
+            # column is limb-packed ONCE; the buffer is reused by the CQ
+            # f-fold and the device h-path input pack.
             phase_cols = []
             for col_idx, col_phase in enumerate(cs.advice_column_phase):
                 if col_phase != phase:
@@ -193,7 +213,12 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                 for row in range(unusable_rows_start, n):
                     col[row] = rng.randrange(P)
                 advice_singles[c_idx]["values"][col_idx] = col
-                phase_cols.append((col_idx, col))
+                if use_bufs:
+                    buf = fr_buf([v % P for v in col])
+                    advice_singles[c_idx]["bufs"][col_idx] = buf
+                    phase_cols.append((col_idx, buf))
+                else:
+                    phase_cols.append((col_idx, col))
             cms = params.commit_lagrange_many([c for _, c in phase_cols])
             for (col_idx, _), cm in zip(phase_cols, cms):
                 advice_singles[c_idx]["commitments"][col_idx] = cm
@@ -226,10 +251,13 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                    for i, cm in enumerate(adv["commitments"]) if cm is not None}
         col_cms.update({("fixed", i): cm
                         for i, cm in enumerate(pk.vk.fixed_commitments)})
+        col_bufs = {("advice", i): b
+                    for i, b in enumerate(adv["bufs"]) if b is not None}
         static_committed.append(static_lookup_commit_all(
             cs.static_lookups, pk, params, theta, challenges_list,
             adv["values"], pk.fixed_values, inst_single["values"],
-            transcript, rng=rng, column_commitments=col_cms))
+            transcript, rng=rng, column_commitments=col_cms,
+            column_buffers=col_bufs))
 
     mark("cq_commit_f_m")
     # ---- beta, gamma; permutations; products; CQ log derivatives --------
@@ -261,13 +289,15 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
     vanishing = vanishing_commit(params, domain, rng, transcript)
     y = transcript.squeeze_challenge()
 
-    if h_device and len(circuits) > 1:
-        # the fused single-dispatch device h-path is single-circuit for now;
-        # multi-circuit proofs take the host evaluator
-        h_device = False
     if h_device:
         # TPU path: ONE jitted dispatch covers every basis conversion, the
-        # h accumulation, the vanishing quotient and the return to coeffs
+        # h accumulation, the vanishing quotient and the return to coeffs.
+        # Multi-circuit proofs dispatch the SAME executable once per circuit
+        # and combine the per-circuit quotients on host: every VM term folds
+        # the accumulator by y exactly once, and the quotient pipeline
+        # (divide by Z_H, iNTT, ZETA scale) is linear, so
+        # h = sum_c h_c * y^{T*(nc-1-c)} with T the program's fold count —
+        # the sharded analogue of evaluation.rs:285-374's circuit-major loop.
         import jax.numpy as _jnp
         from ..fields import device as Dv
         from .device_eval import get_h_fn, prepare_h_inputs
@@ -277,26 +307,62 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
 
         with profiler.phase("h_fn_build"):
             h_fn = get_h_fn(pk, use_mxu=use_mxu)
-        with profiler.phase("h_pack_inputs"):
-            inputs = prepare_h_inputs(
-                pk, [adv["values"] for adv in advice_singles],
-                [inst["values"] for inst in instance_singles],
-                challenges_list, y, beta, gamma, theta,
-                lookups_committed, static_log, permutations, mesh=mesh)
-        # h_fn returns the advice lagrange->coeff intermediate too: the
-        # x-eval polys come for free from the in-graph conversion instead of
-        # a second advice NTT (the duplicated ~0.34 s at k=14, VERDICT r2 #3)
-        h_dev, advice_coeff_dev = h_fn(inputs)
-        with profiler.phase("h_unpack"):
-            h_coeffs = Dv.unpack(h_dev, Dv.FR)
-        with profiler.phase("h_advice_ntt"):
-            flat = Dv.unpack(advice_coeff_dev, Dv.FR)
-            ncols = len(advice_singles[0]["values"])
-            advice_coeff = [{"polys": [flat[i * n:(i + 1) * n]
-                                       for i in range(ncols)]}]
+        adv_cols = [
+            [b if b is not None else v
+             for b, v in zip(adv["bufs"], adv["values"])]
+            for adv in advice_singles
+        ]
+        ncols = cs.num_advice_columns
+        h_bufs = []
+        advice_coeff = []
+        for c_idx in range(len(circuits)):
+            with profiler.phase("h_pack_inputs"):
+                inputs = prepare_h_inputs(
+                    pk, [adv_cols[c_idx]],
+                    [instance_singles[c_idx]["values"]],
+                    challenges_list, y, beta, gamma, theta,
+                    [lookups_committed[c_idx]], [static_log[c_idx]],
+                    [permutations[c_idx]], mesh=mesh)
+            h_dev, advice_coeff_dev = h_fn(inputs)
+            with profiler.phase("h_unpack"):
+                h_bufs.append(Dv.unpack_buf(h_dev, Dv.FR))
+            with profiler.phase("h_advice_ntt"):
+                # x-eval coeff polys: the in-graph l2c intermediate is also
+                # on device, but fetching ~30 MB of coeffs through the
+                # ~6 MB/s tunnel costs seconds — when the advice columns are
+                # already resident as host limb buffers, one native
+                # multi-iNTT reproduces the identical coeffs in ~0.2 s.
+                # Polys stay (n, 4) buffers (arith.as_coeff_list form): the
+                # x-evals and multiopen folds consume them natively.
+                bufs = advice_singles[c_idx]["bufs"]
+                from ..native_loader import native_fr_ntt_multi
+                from ..ops.ntt import _host_twiddle_buf
+                if all(b is not None for b in bufs) and ncols:
+                    polys = [b.copy() for b in bufs]
+                    omega_inv = pow(domain.omega, P - 2, P)
+                    native_fr_ntt_multi(
+                        polys, _host_twiddle_buf(omega_inv, n, P), domain.k,
+                        ninv=pow(n, P - 2, P))
+                    advice_coeff.append({"polys": polys})
+                else:
+                    flat = Dv.unpack_buf(advice_coeff_dev, Dv.FR)
+                    advice_coeff.append(
+                        {"polys": [flat[i * n:(i + 1) * n]
+                                   for i in range(ncols)]})
         with profiler.phase("h_commit"):
+            from ..native_loader import fr_unbuf, native_fr_fold_buf
+            h_acc = h_bufs[0]
+            if len(h_bufs) > 1:
+                from ..native_loader import fr_buf
+                from .h_vm import program_y_fold_count
+                y_t = pow(y, program_y_fold_count(pk), P)
+                for nxt in h_bufs[1:]:
+                    if not native_fr_fold_buf(h_acc, nxt, y_t):
+                        h_acc = fr_buf([
+                            (a * y_t + b) % P
+                            for a, b in zip(fr_unbuf(h_acc), fr_unbuf(nxt))])
             vanishing = vanishing_construct_from_coeffs(
-                vanishing, params, domain, h_coeffs, transcript)
+                vanishing, params, domain, fr_unbuf(h_acc), transcript)
     else:
         advice_coeff = [
             {"polys": [domain.lagrange_to_coeff_host(v) for v in adv["values"]]}
@@ -322,13 +388,14 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
     x = transcript.squeeze_challenge()
     xn = pow(x, n, P)
 
+    fixed_polys = _fixed_poly_bufs(pk, n)
     for adv in advice_coeff:
         for column, rot in cs.advice_queries:
             transcript.write_scalar(
                 A.eval_polynomial(adv["polys"][column.index], domain.rotate_omega(x, rot)))
     for column, rot in cs.fixed_queries:
         transcript.write_scalar(
-            A.eval_polynomial(pk.fixed_polys[column.index], domain.rotate_omega(x, rot)))
+            A.eval_polynomial(fixed_polys[column.index], domain.rotate_omega(x, rot)))
 
     vanishing = vanishing_evaluate(vanishing, x, xn, domain, transcript)
     permutation_pk_evaluate(pk, x, transcript)
@@ -356,7 +423,7 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
             queries.extend(static_lookup_open(sl, x))
     for column, rot in cs.fixed_queries:
         queries.append(ProverQuery(
-            domain.rotate_omega(x, rot), pk.fixed_polys[column.index]))
+            domain.rotate_omega(x, rot), fixed_polys[column.index]))
     queries.extend(permutation_pk_open(pk, x))
     queries.extend(vanishing_open(vanishing, x))
 

@@ -115,7 +115,10 @@ def _joint_dict(pk, tables) -> dict:
 def _resolve_rows(pk, arg, tables, eval_bufs, evaluated, usable_rows):
     """Row index of every usable circuit row in the (joint) table, via
     sorted-hash searchsorted + exact verification (SURVEY §7 stage 7:
-    'value->index lookup as sorted-table searchsorted/gather')."""
+    'value->index lookup as sorted-table searchsorted/gather').
+
+    evaluated: the exact per-expression int lists, or a zero-arg callable
+    producing them (only materialized for collision/missing-row fallback)."""
     jh_sorted, order = _joint_hash_index(pk, tables)
     jh = None
     with np.errstate(over="ignore"):
@@ -130,6 +133,8 @@ def _resolve_rows(pk, arg, tables, eval_bufs, evaluated, usable_rows):
         ok &= (_table_limbs(t)[cand] == buf[:usable_rows]).all(axis=1)
     if not ok.all():
         joint = _joint_dict(pk, tables)
+        if callable(evaluated):
+            evaluated = evaluated()
         for r in np.nonzero(~ok)[0]:
             key = tuple(vals[int(r)] % P for vals in evaluated)
             index = joint.get(key)
@@ -360,7 +365,8 @@ def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
 
 def static_lookup_commit_all(args, pk, params, theta, challenges, advice,
                              fixed, instance, transcript, rng=None,
-                             column_commitments: Optional[dict] = None
+                             column_commitments: Optional[dict] = None,
+                             column_buffers: Optional[dict] = None
                              ) -> List[dict]:
     from ..native_loader import fr_buf, fr_unbuf, get_lib, native_fr_fold_buf
     from ..utils.profiling import profiler
@@ -388,18 +394,31 @@ def static_lookup_commit_all(args, pk, params, theta, challenges, advice,
         assert all(t.size == tables[0].size for t in tables), \
             "Tables should all be of the same size"
         table_config = pk.static_table_configs[tables[0].size]
-        with profiler.phase("eval_inputs"):
-            evaluated = [
-                evaluate_expr_lagrange(e, n, fixed, advice, instance,
-                                       challenges)
-                for e in arg.input_expressions
-            ]
         with profiler.phase("f_fold"):
-            eval_bufs = [fr_buf([v % P for v in vals]) for vals in evaluated]
+            # plain rotation-0 column queries reuse the witness-phase limb
+            # buffers; anything else evaluates + packs per expression
+            eval_bufs = []
+            for e in arg.input_expressions:
+                buf = None
+                if (column_buffers is not None and e.rotation == 0
+                        and e.kind in ("advice", "fixed")):
+                    buf = column_buffers.get((e.kind, e.column.index))
+                if buf is None:
+                    vals = evaluate_expr_lagrange(e, n, fixed, advice,
+                                                  instance, challenges)
+                    buf = fr_buf([v % P for v in vals])
+                eval_bufs.append(buf)
             acc = np.zeros((n, 4), dtype="<u8")
             for buf in eval_bufs:
                 native_fr_fold_buf(acc, buf, theta)
-            f = fr_unbuf(acc)
+
+        def evaluated():
+            # exact int lists, only materialized for hash-collision /
+            # missing-row fallback reporting in _resolve_rows
+            return [evaluate_expr_lagrange(e, n, fixed, advice, instance,
+                                           challenges)
+                    for e in arg.input_expressions]
+
         with profiler.phase("m_rows"):
             row_idx = _resolve_rows(pk, arg, tables, eval_bufs, evaluated,
                                     usable_rows)
@@ -412,7 +431,7 @@ def static_lookup_commit_all(args, pk, params, theta, challenges, advice,
         if f_cm is None:
             jobs.append((M.packed_basis(params, "_g_lagrange_packed",
                                         params.g_lagrange),
-                         None, f, params.g_lagrange))
+                         None, acc, params.g_lagrange))
             job_of.append((a_i, "f"))
         jobs.append((M.packed_basis(table_config, "_g1l_packed",
                                     table_config.g1_lagrange),
@@ -420,7 +439,7 @@ def static_lookup_commit_all(args, pk, params, theta, challenges, advice,
                      table_config.g1_lagrange))
         job_of.append((a_i, "m"))
         results.append({
-            "f": f,
+            "f_buf": acc,
             "f_cm": f_cm,
             "idxs": idxs,
             "counts": counts,
@@ -481,26 +500,27 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
             for i, c in enumerate(committed_list)
         ]
 
-    # ---- B side: ONE concatenated inversion of every argument's f rows
+    # ---- B side: buffer-resident all the way — ONE concatenated (f+beta)
+    # inversion, ONE multi-iNTT; the resulting coeff polys stay (n, 4) limb
+    # buffers for the MSM jobs / x-evals / multiopen folds downstream
     with profiler.phase("b_side"):
-        fconcat: List[int] = []
-        for c in committed_list:
-            fconcat.extend((fi + beta) % P for fi in c["f"][:usable_rows])
-        finvs = batch_inv(fconcat, P)
+        from ..native_loader import native_fr_batch_inv_buf
+        cc = np.concatenate([c["f_buf"][:usable_rows] for c in committed_list])
+        beta_tile = np.tile(fr_buf([beta]), (cc.shape[0], 1))
+        native_fr_fold_buf(cc, beta_tile, 1)          # cc = f + beta
+        native_fr_batch_inv_buf(cc)
 
-        # batched iNTT: every argument's B evals and f evals to coeffs
         omega_inv = pow(domain.omega, P - 2, P)
         tw_inv = _host_twiddle_buf(omega_inv, n, P)
         n_inv = inv_mod(n, P)
-        b_bufs, f_bufs = [], []
-        tail = [beta_inv] * (bf + 1)
-        for i, c in enumerate(committed_list):
-            bs = finvs[i * usable_rows:(i + 1) * usable_rows] + tail
-            b_bufs.append(fr_buf(bs))
-            f_bufs.append(fr_buf([v % P for v in c["f"]]))
+        tail = np.tile(fr_buf([beta_inv]), (bf + 1, 1))
+        b_bufs = [np.concatenate([cc[i * usable_rows:(i + 1) * usable_rows],
+                                  tail])
+                  for i in range(len(committed_list))]
+        f_bufs = [c["f_buf"] for c in committed_list]  # in-place -> coeffs
         native_fr_ntt_multi(b_bufs + f_bufs, tw_inv, domain.k, ninv=n_inv)
-        b_polys = [fr_unbuf(b) for b in b_bufs]
-        f_polys = [fr_unbuf(b) for b in f_bufs]
+        b_polys = b_bufs
+        f_polys = f_bufs
 
     # ---- every commitment MSM of the phase in ONE native call
     with profiler.phase("cq_msms"):
@@ -525,11 +545,11 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
                 jobs.append((M.packed_basis(table, "_qs_packed", table.qs),
                              idxs, a_vals, table.qs))
                 job_of.append((i, ("qa", t_i)))
-            b0_coeffs = b_polys[i][1:]
-            jobs.append((g_packed, None, b0_coeffs + [0], params.g))
+            b0_coeffs = b_polys[i][1:]       # (n-1, 4) contiguous view
+            jobs.append((g_packed, None, b0_coeffs, params.g))
             job_of.append((i, "b0"))
             jobs.append((bound_packed, None, b0_coeffs,
-                         pk.b0_g1_bound[: len(b0_coeffs)]))
+                         pk.b0_g1_bound[: b0_coeffs.shape[0]]))
             job_of.append((i, "p"))
         cms = M.msm_multi(jobs)
 
@@ -553,13 +573,16 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
         transcript.write_point(got["a0"])
         transcript.write_point(got["b0"])
         transcript.write_point(got["p"])
-        b_poly = b_polys[i]
+        b_buf = b_polys[i]
         size = per_tables[i][0].size
         n_t_inv = n_table_inv_cache.get(size)
         if n_t_inv is None:
             n_t_inv = n_table_inv_cache[size] = inv_mod(size, P)
-        a_at_zero = ((b_poly[0] * n - (bf + 1) * beta_inv) % P) * n_t_inv % P
-        out.append({"b": b_poly, "b0": b_poly[1:] + [0], "f": f_polys[i],
+        b_at_zero = int.from_bytes(b_buf[0].tobytes(), "little")
+        a_at_zero = ((b_at_zero * n - (bf + 1) * beta_inv) % P) * n_t_inv % P
+        # "b"/"f" stay limb buffers; "b0"'s Horner eval is unchanged by the
+        # trailing zero the list form carried
+        out.append({"b": b_buf, "b0": b_buf[1:], "f": f_polys[i],
                     "a_at_zero": a_at_zero})
     return out
 

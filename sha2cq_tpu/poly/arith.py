@@ -20,7 +20,25 @@ from ..fields.host import FR_MOD, batch_inv, inv_mod
 P = FR_MOD
 
 
-def eval_polynomial(coeffs: Sequence[int], x: int) -> int:
+def as_coeff_list(poly) -> List[int]:
+    """Coefficient polys travel as int lists OR canonical (n, 4) u64 limb
+    buffers (the device/native prover keeps them resident as buffers to skip
+    per-boundary bigint conversion); this is the list view of either."""
+    import numpy as np
+    if isinstance(poly, np.ndarray):
+        from ..native_loader import fr_unbuf
+        return fr_unbuf(poly)
+    return poly
+
+
+def eval_polynomial(coeffs, x: int) -> int:
+    import numpy as np
+    if isinstance(coeffs, np.ndarray):
+        from ..native_loader import native_fr_eval_buf
+        out = native_fr_eval_buf(np.ascontiguousarray(coeffs), x % P)
+        if out is not None:
+            return out
+        coeffs = as_coeff_list(coeffs)
     if len(coeffs) >= 512:
         from ..native_loader import native_fr_eval
         out = native_fr_eval([c % P for c in coeffs], x % P)

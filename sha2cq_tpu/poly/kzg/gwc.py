@@ -59,8 +59,9 @@ def gwc_create_proof(params, queries: Sequence[ProverQuery], transcript: Blake2b
         eval_batch = 0
         power = 1
         for q in qs:
-            poly_batch = A.poly_add(poly_batch, A.poly_scale(q.poly, power))
-            eval_batch = (eval_batch + A.eval_polynomial(q.poly, z) * power) % P
+            poly = A.as_coeff_list(q.poly)
+            poly_batch = A.poly_add(poly_batch, A.poly_scale(poly, power))
+            eval_batch = (eval_batch + A.eval_polynomial(poly, z) * power) % P
             power = power * v % P
         poly_batch = list(poly_batch)
         poly_batch[0] = (poly_batch[0] - eval_batch) % P
@@ -81,6 +82,8 @@ def _gwc_create_proof_native(params, queries, transcript, v: int) -> None:
     buf_cache: dict = {}
 
     def buf_of(q):
+        if isinstance(q.poly, np.ndarray):
+            return q.poly          # already a resident (n, 4) limb buffer
         b = buf_cache.get(id(q.poly))
         if b is None:
             b = fr_buf([c % P for c in q.poly])

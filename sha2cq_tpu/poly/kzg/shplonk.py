@@ -76,6 +76,20 @@ def _intermediate_sets(queries):
 
 def shplonk_create_proof(params, queries: Sequence[ProverQuery], transcript) -> None:
     y = transcript.squeeze_challenge()
+    # buffer-form polys (see arith.as_coeff_list) -> lists once up front;
+    # the set machinery below keys and folds them as plain int lists.  The
+    # id-keyed cache preserves poly identity across queries (a poly opened
+    # at several points must stay ONE set entry).
+    _lists: dict = {}
+
+    def _as_list(p):
+        got = _lists.get(id(p))
+        if got is None:
+            got = _lists[id(p)] = A.as_coeff_list(p)
+        return got
+
+    queries = [q if isinstance(q, VerifierQuery)
+               else ProverQuery(q.point, _as_list(q.poly)) for q in queries]
     sets, super_points, _ = _intermediate_sets(queries)
 
     # evals per (poly, point)

@@ -580,6 +580,10 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                 except Exception as e:
                     print("[h_all lower] cache key unavailable:",
                           repr(e)[:80], flush=True)
+                if _os2.environ.get("SHA2CQ_H_LOWER_ONLY"):
+                    # diagnosis mode: stop before the (minutes-long cold)
+                    # compile so two processes' keys can be compared cheaply
+                    raise RuntimeError("SHA2CQ_H_LOWER_ONLY")
             h_dev, adv_coeff = h_all_jit(*args)
             jax.block_until_ready(h_dev)
         return h_dev, adv_coeff

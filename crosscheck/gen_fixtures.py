@@ -156,7 +156,125 @@ def gen_simple(check: bool) -> None:
     _emit("simple", proof, meta, check)
 
 
+class PlonkApiCircuit:
+    """plonk_api.rs-class coverage in ONE circuit: a fixed-gated mul gate,
+    two compressible selectors gating add/sub gates, a dynamic lookup of `a`
+    into a fixed table, a copy constraint, and a public instance.  The Rust
+    mirror is crosscheck/rust/plonkapi_crosscheck.rs — creation order here
+    and there must match exactly (reference plonk_api.rs:535-564 exercises
+    the same surface under both GWC and SHPLONK)."""
+
+    TABLE = list(range(12))
+
+    @classmethod
+    def configure(cls, meta):
+        from sha2cq_tpu.plonk import ConstraintSystem  # noqa: F401
+        a = meta.advice_column()
+        b = meta.advice_column()
+        c = meta.advice_column()
+        q_mul = meta.fixed_column()
+        table = meta.lookup_table_column()
+        inst = meta.instance_column()
+        s_add = meta.selector()
+        s_sub = meta.selector()
+        for col in (a, b, c, inst):
+            meta.enable_equality(col)
+        meta.create_gate("mul", lambda cells: [
+            cells.query_fixed(q_mul, 0)
+            * (cells.query_advice(a, 0) * cells.query_advice(b, 0)
+               - cells.query_advice(c, 0))])
+        meta.create_gate("add", lambda cells: [
+            cells.query_selector(s_add)
+            * (cells.query_advice(a, 0) + cells.query_advice(b, 0)
+               - cells.query_advice(c, 0))])
+        meta.create_gate("sub", lambda cells: [
+            cells.query_selector(s_sub)
+            * (cells.query_advice(a, 0) - cells.query_advice(b, 0)
+               - cells.query_advice(c, 0))])
+        meta.lookup("range", lambda cells: [
+            (cells.query_advice(a, 0), table)])
+        return {"a": a, "b": b, "c": c, "q_mul": q_mul, "table": table,
+                "inst": inst, "s_add": s_add, "s_sub": s_sub}
+
+    # witness: rows 0-2 mul-gated, row 3 add-gated, row 4 sub-gated;
+    # b[1] copies a[0]; c[0] is public
+    A_VALS = [3, 7, 5, 8, 9]
+    B_VALS = [4, 3, 11, 2, 4]
+
+    def synthesize(self, cfg, layouter):
+        from sha2cq_tpu.circuit import Value
+
+        def fill_table(table):
+            for i, v in enumerate(self.TABLE):
+                table.assign_cell(cfg["table"], i, Value.known(v))
+        layouter.assign_table("range", fill_table)
+
+        cells = {}
+
+        def assign(region):
+            for i, (av, bv) in enumerate(zip(self.A_VALS, self.B_VALS)):
+                if i < 3:
+                    region.assign_fixed(cfg["q_mul"], i, Value.known(1))
+                    cv = av * bv % P
+                elif i == 3:
+                    region.enable_selector(cfg["s_add"], i)
+                    cv = (av + bv) % P
+                else:
+                    region.enable_selector(cfg["s_sub"], i)
+                    cv = (av - bv) % P
+                ca = region.assign_advice(cfg["a"], i, Value.known(av))
+                cb = region.assign_advice(cfg["b"], i, Value.known(bv))
+                cc = region.assign_advice(cfg["c"], i, Value.known(cv))
+                cells[i] = (ca, cb, cc)
+            region.constrain_equal(cells[0][0].cell, cells[1][1].cell)
+            return cells
+
+        got = layouter.assign_region("rows", assign)
+        layouter.constrain_instance(got[0][2].cell, cfg["inst"], 0)
+
+
+def gen_plonkapi(check: bool) -> None:
+    """Two fixtures from one circuit/vk: GWC and SHPLONK multiopen proofs
+    (reference plonk_api.rs:535-564).  Selectors are COMPRESSED (the
+    reference's keygen always compresses, compress_selectors.rs)."""
+    K = 5
+    s = random.Random(0x706170).randrange(P)  # "pap"
+    from sha2cq_tpu.poly.kzg.params import ParamsKZG
+    params = ParamsKZG.setup_from_toxic_waste(K, s)
+    circuit = PlonkApiCircuit()
+    inst = [circuit.A_VALS[0] * circuit.B_VALS[0] % P]
+    vk = keygen_vk(params, circuit, compress_selectors=True)
+    pk = keygen_pk(params, {}, [], vk, circuit, compress_selectors=True)
+    for scheme in ("gwc", "shplonk"):
+        proof = create_proof(params, pk, [circuit], [[inst]],
+                             rng=random.Random(0x62), multiopen=scheme)
+        read = RecordingRead(proof)
+        strategy = AccumulatorStrategy(params.verifier_params(),
+                                       rng=random.Random(1))
+        assert verify_proof(params.verifier_params(), vk, strategy, [[inst]],
+                            read, multiopen=scheme).check(), \
+            f"fixture proof must verify ({scheme})"
+        meta = {
+            "circuit": "PlonkApiCircuit (gen_fixtures.py): mul gate + two "
+                       "compressed selectors + dynamic lookup + permutation "
+                       "+ instance; Rust mirror in crosscheck/rust/"
+                       "plonkapi_crosscheck.rs",
+            "multiopen": scheme,
+            "k": K,
+            "toxic_s": hex(s),
+            "a_vals": circuit.A_VALS,
+            "b_vals": circuit.B_VALS,
+            "lookup_table": circuit.TABLE,
+            "instances": [inst],
+            "challenges": [hex(c) for c in read.challenges],
+            "vk_transcript_repr": hex(vk.transcript_repr),
+            "vk_pinned_rust": vk._pinned_str_rust(),
+        }
+        _emit(f"plonkapi_{scheme}", proof, meta, check)
+
+
 if __name__ == "__main__":
     check = "--check" in sys.argv
     gen_mytest(check)
     gen_simple(check)
+    gen_plonkapi(check)

@@ -23,5 +23,5 @@ cp "$HERE"/rust/*.rs "$WORK/reference/halo2_proofs/tests/"
 export SHA2CQ_FIXTURES="$HERE/fixtures"
 cd "$WORK/reference"
 cargo test -p halo2_proofs --test mytest_crosscheck --test simple_crosscheck \
-    -- --nocapture
+    --test plonkapi_crosscheck -- --nocapture
 echo "CROSSCHECK OK: all sha2cq_tpu fixture proofs accepted by the reference verifier"

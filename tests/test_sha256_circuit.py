@@ -124,3 +124,23 @@ def test_sha256_circuit_mock_32bit_single_block():
     assert list(state) == list(digest)
 
     MockProver.run(7, circuit, [digest]).assert_satisfied()
+
+
+def test_sha256_circuit_mock_32bit_two_blocks():
+    """Multi-block MockProver at word_bits=32 (VERDICT r3 item 10): two
+    chained FIPS blocks through the short-circuiting expression walk
+    (Expression.evaluate_lazy, reference circuit.rs:713-1026) — covers the
+    Davies-Meyer chain handoff the single-block mock cannot."""
+    from sha2cq_tpu.models.sha.setup32 import build_mock_tables
+    tables = build_mock_tables(SCHEME32)
+    rng = random.Random(12)
+    blocks = [[rng.randrange(1 << 32) for _ in range(16)] for _ in range(2)]
+    circuit = Sha256Circuit(blocks, tables)
+    digest = circuit.expected_digest()
+
+    state = model.h_constants(32)
+    for blk in blocks:
+        state = model.sha_compress_final(state, blk, 32)
+    assert list(state) == list(digest)
+
+    MockProver.run(8, circuit, [digest]).assert_satisfied()

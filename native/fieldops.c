@@ -15,6 +15,9 @@
  */
 #include <stdint.h>
 #include <string.h>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -1161,6 +1164,97 @@ void fr_kate_div(const u64 *poly, long n, const u64 *b, u64 *out) {
         fr_mul(&t, &acc, &bm);
         fr_add(&acc, &t, (const fr *)(poly + 4 * (i + 1)));
         memcpy(out + 4 * i, &acc, sizeof acc);
+    }
+}
+
+/* Permutation grand-product passes (reference permutation/prover.rs:47-201)
+ * — the per-row Python loops were ~0.5 s of every SHA-256 prove.
+ * All buffers canonical u64[4] limbs. */
+
+/* acc[i] *= (beta*sigma[i] + gamma + vals[i]) */
+void fr_perm_mul_acc(u64 *acc, const u64 *sigma, const u64 *vals,
+                     const u64 *beta, const u64 *gamma, long n) {
+    fr bm, gm;
+    fr_to_mont(&bm, (const fr *)beta);
+    fr_to_mont(&gm, (const fr *)gamma);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (long i = 0; i < n; i++) {
+        fr s, v, a, t;
+        fr_to_mont(&s, (const fr *)(sigma + 4 * i));
+        fr_to_mont(&v, (const fr *)(vals + 4 * i));
+        fr_to_mont(&a, (const fr *)(acc + 4 * i));
+        fr_mul(&t, &s, &bm);
+        fr_add(&t, &t, &gm);
+        fr_add(&t, &t, &v);
+        fr_mul(&a, &a, &t);
+        fr one = {{1, 0, 0, 0}};
+        fr_mul((fr *)(acc + 4 * i), &a, &one);  /* from Montgomery */
+    }
+}
+
+/* acc[i] *= (dbase*omega^i*beta + gamma + vals[i]) — the numerator pass
+ * with its geometric delta*omega^i coefficient */
+void fr_perm_mul_acc_geo(u64 *acc, const u64 *vals, const u64 *beta,
+                         const u64 *gamma, const u64 *dbase,
+                         const u64 *omega, long n) {
+    fr bm, gm, dm, om;
+    fr_to_mont(&bm, (const fr *)beta);
+    fr_to_mont(&gm, (const fr *)gamma);
+    fr_to_mont(&dm, (const fr *)dbase);
+    fr_to_mont(&om, (const fr *)omega);
+    #ifdef _OPENMP
+    #pragma omp parallel
+    #endif
+    {
+        long lo = 0, hi = n;
+        #ifdef _OPENMP
+        int nt = omp_get_num_threads(), id = omp_get_thread_num();
+        lo = n * id / nt;
+        hi = n * (id + 1) / nt;
+        #endif
+        /* d at this thread's start row: dbase * omega^lo (square&multiply) */
+        fr d = dm, opow = om;
+        long e = lo;
+        fr acc_p;
+        fr one = {{1, 0, 0, 0}};
+        fr one_m;
+        fr_to_mont(&one_m, &one);
+        acc_p = one_m;
+        while (e) {
+            if (e & 1) fr_mul(&acc_p, &acc_p, &opow);
+            fr_mul(&opow, &opow, &opow);
+            e >>= 1;
+        }
+        fr_mul(&d, &dm, &acc_p);
+        for (long i = lo; i < hi; i++) {
+            fr v, a, t;
+            fr_to_mont(&v, (const fr *)(vals + 4 * i));
+            fr_to_mont(&a, (const fr *)(acc + 4 * i));
+            fr_mul(&t, &d, &bm);
+            fr_add(&t, &t, &gm);
+            fr_add(&t, &t, &v);
+            fr_mul(&a, &a, &t);
+            fr_mul((fr *)(acc + 4 * i), &a, &one);
+            fr_mul(&d, &d, &om);
+        }
+    }
+}
+
+/* z[0] = z0; z[i] = z[i-1] * m[i-1]  (the grand-product prefix) */
+void fr_prefix_prod(const u64 *m, const u64 *z0, u64 *z, long n) {
+    fr acc, one = {{1, 0, 0, 0}};
+    fr_to_mont(&acc, (const fr *)z0);
+    for (long i = 0; i < n; i++) {
+        fr out;
+        fr_mul(&out, &acc, &one);
+        memcpy(z + 4 * i, &out, sizeof out);
+        if (i + 1 < n) {
+            fr mi;
+            fr_to_mont(&mi, (const fr *)(m + 4 * i));
+            fr_mul(&acc, &acc, &mi);
+        }
     }
 }
 

@@ -85,6 +85,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fr_ntt_multi.argtypes = [ctypes.POINTER(U64P), U64P,
                                      ctypes.c_long, ctypes.c_int,
                                      ctypes.c_long, U64P]
+        lib.fr_perm_mul_acc.argtypes = [U64P] * 5 + [ctypes.c_long]
+        lib.fr_perm_mul_acc_geo.argtypes = [U64P] * 6 + [ctypes.c_long]
+        lib.fr_prefix_prod.argtypes = [U64P, U64P, U64P, ctypes.c_long]
         _lib = lib
         return lib
     except OSError:

@@ -128,6 +128,13 @@ def evaluate_h(pk, advice_cosets, instance_cosets, challenges, y, beta, gamma,
         # -- permutation argument (evaluation.rs:376-456)
         sets = permutation["sets"] if permutation else []
         if sets:
+            # cosets are computed lazily: the device h-path never needs
+            # them, so permutation_commit no longer pays the extended NTT
+            from ..poly.arith import as_coeff_list
+            for s in sets:
+                if "coset" not in s:
+                    s["coset"] = domain.coeff_to_extended_host(
+                        as_coeff_list(s["poly"]))
             blinding_factors = cs.blinding_factors()
             last_rot = -(blinding_factors + 1)
             chunk_len = pk.vk.cs_degree - 2

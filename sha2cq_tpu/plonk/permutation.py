@@ -30,6 +30,12 @@ def permutation_commit(pk, params, advice, fixed, instance, beta, gamma, rng,
     def col_values(column):
         return {"advice": advice, "fixed": fixed, "instance": instance}[column.kind][column.index]
 
+    from ..native_loader import get_lib
+    if get_lib() is not None and n >= 1024:
+        return _permutation_commit_native(
+            pk, params, col_values, columns, chunk_len, blinding_factors,
+            beta, gamma, rng, transcript)
+
     omega = domain.omega
     deltaomega_base = 1
     last_z = 1
@@ -61,9 +67,86 @@ def permutation_commit(pk, params, advice, fixed, instance, beta, gamma, rng,
 
         commitment = params.commit_lagrange(z)
         poly = domain.lagrange_to_coeff_host(z)
-        coset = domain.coeff_to_extended_host(poly)
         transcript.write_point(commitment)
-        sets.append({"lagrange": z, "poly": poly, "coset": coset})
+        # "coset" is computed lazily by the host evaluator (the device
+        # h-path consumes only the lagrange values)
+        sets.append({"lagrange": z, "poly": poly})
+    return {"sets": sets}
+
+
+def _permutation_commit_native(pk, params, col_values, columns, chunk_len,
+                               blinding_factors, beta, gamma, rng,
+                               transcript) -> dict:
+    """Buffer/native grand products: the per-row Python loops above are
+    ~0.5 s of a SHA-256 prove; here each pass is one C call
+    (fr_perm_mul_acc / _geo / fr_prefix_prod), bit-identical."""
+    import numpy as np
+
+    from ..native_loader import (fr_buf, get_lib, native_fr_batch_inv_buf,
+                                 native_fr_ntt_multi, _u64p)
+    from ..ops.ntt import _host_twiddle_buf
+
+    lib = get_lib()
+    domain = pk.vk.domain
+    n = params.n
+
+    def col_buf(column):
+        # fixed columns are pk-stable: cache their limb buffers; advice and
+        # instance values change per proof and pack fresh (~1 ms/column)
+        vals = col_values(column)
+        if column.kind == "fixed":
+            cache = pk.__dict__.setdefault("_perm_fixed_bufs", {})
+            buf = cache.get(column.index)
+            if buf is None:
+                buf = cache[column.index] = fr_buf([v % P for v in vals])
+            return buf
+        return fr_buf([v % P for v in vals])
+
+    sigma_bufs = pk.__dict__.get("_perm_sigma_bufs")
+    if sigma_bufs is None:
+        sigma_bufs = pk.__dict__["_perm_sigma_bufs"] = [
+            fr_buf(s) for s in pk.permutation.permutations]
+
+    one = fr_buf([1])[0]
+    beta_b, gamma_b = fr_buf([beta % P]), fr_buf([gamma % P])
+    omega_b = fr_buf([domain.omega])
+    deltaomega_base = 1
+    last_z = 1
+    sets = []
+    z_bufs = []
+    for chunk_start in range(0, len(columns), chunk_len):
+        cols = columns[chunk_start:chunk_start + chunk_len]
+        modified = np.tile(one, (n, 1))
+        for j, column in enumerate(cols):
+            lib.fr_perm_mul_acc(
+                _u64p(modified), _u64p(sigma_bufs[chunk_start + j]),
+                _u64p(col_buf(column)), _u64p(beta_b), _u64p(gamma_b),
+                n)
+        native_fr_batch_inv_buf(modified)
+        for column in cols:
+            lib.fr_perm_mul_acc_geo(
+                _u64p(modified), _u64p(col_buf(column)), _u64p(beta_b),
+                _u64p(gamma_b), _u64p(fr_buf([deltaomega_base])),
+                _u64p(omega_b), n)
+            deltaomega_base = deltaomega_base * FR_DELTA % P
+
+        z = np.empty((n, 4), dtype="<u8")
+        lib.fr_prefix_prod(_u64p(modified), _u64p(fr_buf([last_z])),
+                           _u64p(z), n)
+        blind = fr_buf([rng.randrange(P) for _ in range(blinding_factors)])
+        z[n - blinding_factors:] = blind
+        last_z = int.from_bytes(z[n - (blinding_factors + 1)].tobytes(),
+                                "little")
+        z_bufs.append(z)
+
+    cms = params.commit_lagrange_many(z_bufs)
+    polys = [z.copy() for z in z_bufs]
+    omega_inv = pow(domain.omega, P - 2, P)
+    native_fr_ntt_multi(polys, _host_twiddle_buf(omega_inv, n, P), domain.k,
+                        ninv=pow(n, P - 2, P))
+    for cm, z, poly in zip(cms, z_bufs, polys):
+        transcript.write_point(cm)
+        sets.append({"lagrange": z, "poly": poly})
     return {"sets": sets}
 
 

@@ -150,3 +150,50 @@ def test_multi_circuit_single_proof():
     batcher = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
                            [[inst2], [inst1]], Blake2bRead(proof))
     assert not batcher.check(), "swapped instances must fail"
+
+
+def test_native_permutation_grand_products_match_python(monkeypatch):
+    """The C grand-product kernels (fr_perm_mul_acc/_geo, fr_prefix_prod)
+    engage at n >= 1024; proof bytes must equal the per-row Python fold's."""
+    K10 = 10
+    rng = random.Random(4242)
+    s = rng.randrange(P)
+    params = ParamsKZG.setup_from_toxic_waste(K10, s)
+    a, b = _inputs()
+    circuit = ApiCircuit(a, b)
+    inst = [a[0] * b[0] % P]
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, {}, [], vk, circuit)
+
+    proof_native = create_proof(params, pk, [circuit], [[inst]],
+                                rng=random.Random(8))
+
+    from sha2cq_tpu.plonk import permutation as PM
+    native_fn = PM._permutation_commit_native
+    calls = {"n": 0}
+
+    def counting(*args, **kw):
+        calls["n"] += 1
+        return native_fn(*args, **kw)
+
+    monkeypatch.setattr(PM, "_permutation_commit_native", counting)
+    create_proof(params, pk, [circuit], [[inst]], rng=random.Random(8))
+    assert calls["n"] == 1, "native permutation path did not engage at k=10"
+
+    # force the pure-Python fold and compare bytes
+    monkeypatch.setattr(
+        PM, "_permutation_commit_native",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("unused")))
+    import sha2cq_tpu.native_loader as NL
+    real_get_lib = NL.get_lib
+    monkeypatch.setattr(NL, "get_lib", lambda: None)
+    try:
+        proof_py = create_proof(params, pk, [circuit], [[inst]],
+                                rng=random.Random(8))
+    finally:
+        monkeypatch.setattr(NL, "get_lib", real_get_lib)
+    assert proof_py == proof_native, "native perm grand products != python"
+
+    batcher = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
+                           [[inst]], Blake2bRead(proof_native))
+    assert batcher.check()

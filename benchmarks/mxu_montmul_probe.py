@@ -85,9 +85,9 @@ def main():
         cols = []
         zero = jnp.zeros_like(bd)
         for d in range(32):
-            # shift bd right by d into a (n, 63) row; build lazily as rolls
-            cols.append(jnp.concatenate([zero[:, :d], bd[:, : 63 - d]], axis=1)
-                        if d else jnp.concatenate([bd, zero[:, :31]], axis=1))
+            # row d of the per-lane Toeplitz: bd shifted right by d digits
+            cols.append(jnp.concatenate(
+                [zero[:, :d], bd, zero[:, : 31 - d]], axis=1))
         T = jnp.stack(cols, axis=1)  # (n, 32, 63) int32
         return jax.lax.dot_general(
             ad[:, None, :], T, (((2,), (1,)), ((0,), (0,))),

@@ -355,6 +355,80 @@ def static_lookup_commit_log_derivatives(committed: dict, pk, params, domain,
     return {"b": b_poly, "b0": b0_poly, "f": f_poly, "a_at_zero": a_at_zero}
 
 
+# ---- sparse b0/p commitment bases ------------------------------------------
+# B's Lagrange vector is 1/beta on every row where f is zero (inactive rows
+# and the enforced blinding tail), so B = beta^{-1}*1 + sum_{i in support}
+# corr_i * L_i with corr_i = B_i - beta^{-1} and support = {i : f_i != 0}.
+# Since sum_i L_i = 1 and L_i(0) = 1/n, both degree-bound commitments become
+# SUPPORT-sized MSMs over precomputed bases:
+#   [b0]_1 = sum corr_i [(L_i(x) - 1/n)/x]_1
+#   [p]_1  = sum corr_i [(L_i(x) - 1/n) x^{s-1}]_1      (s = bound shift)
+# and each basis is one group-iNTT of an identity-padded power window:
+# (L_i(X) - 1/n)/X = sum_{j>=1} c_ij X^{j-1} with c_ij the iDFT matrix whose
+# j=0 column is exactly the subtracted 1/n — so feeding [O, W_1..W_{n-1}]
+# to the group iNTT yields the basis with no extra SRS points.  This turns
+# the prover's 2-per-lookup DENSE n-point MSMs (the largest share of the
+# CQ phase) into ~active-row-count ones.
+
+def _b0_sparse_bases(pk, params):
+    """((b0_packed, b0_pts), (p_packed, p_pts)) or None when unavailable.
+    Built once per (params/pk), disk-cached (a native group-iNTT each)."""
+    cached = pk.__dict__.get("_b0_sparse_cache", False)
+    if cached is not False:
+        return cached
+    from ..native_loader import get_lib
+    res = None
+    n = params.n
+    if (get_lib() is not None and n >= 1024
+            and len(pk.b0_g1_bound) >= n - 1):
+        b0_pts = _opening_basis_from_window(params.g, n, "g")
+        p_pts = _opening_basis_from_window(pk.b0_g1_bound, n, "bound")
+        if b0_pts is not None and p_pts is not None:
+            res = ((M.packed_basis(params, "_b0sparse_packed", b0_pts),
+                    b0_pts),
+                   (M.packed_basis(pk, "_psparse_packed", p_pts), p_pts))
+    pk.__dict__["_b0_sparse_cache"] = res
+    return res
+
+
+def _opening_basis_from_window(window, n, tag):
+    """group-iNTT (times n — the 1/n folds into the MSM scalars) of
+    [identity, window[0], ..., window[n-2]]."""
+    import hashlib
+    import os
+    import pickle
+
+    from .static_tables import _group_ntt_any, _omega_for_k
+
+    if len(window) < n - 1:
+        return None
+    key = hashlib.sha256(
+        repr((tag, n, window[0], window[1], window[n - 2])).encode()
+    ).hexdigest()[:20]
+    cache_dir = os.path.expanduser(
+        os.environ.get("SHA2CQ_CACHE", "~/.cache/sha2cq_jax"))
+    path = os.path.join(cache_dir, f"openbasis_{key}.pkl")
+    try:
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return pickle.load(f)
+    except Exception:
+        pass
+    k = n.bit_length() - 1
+    omega_inv = inv_mod(_omega_for_k(k), P)
+    jac = [CH.JAC_IDENTITY] + [CH.jac_from_affine(p) for p in window[: n - 1]]
+    out = _group_ntt_any(jac, omega_inv, k)
+    pts = CH.jac_batch_to_affine(out)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(path + ".tmp", "wb") as f:
+            pickle.dump(pts, f, protocol=4)
+        os.replace(path + ".tmp", path)
+    except Exception:
+        pass
+    return pts
+
+
 # ---- batched prover phases --------------------------------------------------
 # The flagship SHA-256 circuit runs ~40 static lookup arguments per proof;
 # per-argument native calls leave cores idle between commitments.  The *_all
@@ -505,10 +579,25 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
     # buffers for the MSM jobs / x-evals / multiopen folds downstream
     with profiler.phase("b_side"):
         from ..native_loader import native_fr_batch_inv_buf
+        # per-argument support (rows with f != 0) for the sparse b0/p
+        # commitments, read before f_buf is consumed
+        supports = [np.nonzero(
+            c["f_buf"][:usable_rows].any(axis=1))[0] for c in committed_list]
         cc = np.concatenate([c["f_buf"][:usable_rows] for c in committed_list])
         beta_tile = np.tile(fr_buf([beta]), (cc.shape[0], 1))
         native_fr_fold_buf(cc, beta_tile, 1)          # cc = f + beta
         native_fr_batch_inv_buf(cc)
+        # corr_i = (B_i - 1/beta)/n over the support rows (the 1/n that the
+        # un-normalized group-iNTT bases fold into the scalars)
+        sparse_bases = _b0_sparse_bases(pk, params)
+        corr_per = None
+        if sparse_bases is not None:
+            n_inv = inv_mod(n, P)
+            corr_per = []
+            for i, sup in enumerate(supports):
+                rows = fr_unbuf(cc[i * usable_rows + sup])
+                corr_per.append([
+                    (bi - beta_inv) * n_inv % P for bi in rows])
 
         omega_inv = pow(domain.omega, P - 2, P)
         tw_inv = _host_twiddle_buf(omega_inv, n, P)
@@ -545,12 +634,20 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
                 jobs.append((M.packed_basis(table, "_qs_packed", table.qs),
                              idxs, a_vals, table.qs))
                 job_of.append((i, ("qa", t_i)))
-            b0_coeffs = b_polys[i][1:]       # (n-1, 4) contiguous view
-            jobs.append((g_packed, None, b0_coeffs, params.g))
-            job_of.append((i, "b0"))
-            jobs.append((bound_packed, None, b0_coeffs,
-                         pk.b0_g1_bound[: b0_coeffs.shape[0]]))
-            job_of.append((i, "p"))
+            if corr_per is not None and len(supports[i]):
+                sup = supports[i].tolist()
+                (b0p, b0pts), (pp, ppts) = sparse_bases
+                jobs.append((b0p, sup, corr_per[i], b0pts))
+                job_of.append((i, "b0"))
+                jobs.append((pp, sup, corr_per[i], ppts))
+                job_of.append((i, "p"))
+            else:
+                b0_coeffs = b_polys[i][1:]   # (n-1, 4) contiguous view
+                jobs.append((g_packed, None, b0_coeffs, params.g))
+                job_of.append((i, "b0"))
+                jobs.append((bound_packed, None, b0_coeffs,
+                             pk.b0_g1_bound[: b0_coeffs.shape[0]]))
+                job_of.append((i, "p"))
         cms = M.msm_multi(jobs)
 
     out: List[dict] = []

@@ -173,3 +173,58 @@ def test_golden_proof_bytes_pinned():
     assert len(proof) == 608
     assert hashlib.blake2b(proof, digest_size=16).hexdigest() == \
         "dccf78dc88329973c36c6defd7990102"
+
+
+def test_sparse_b0_commitment_bases_match_dense(monkeypatch):
+    """At n >= 1024 the batched prover commits b0/p as support-sized MSMs
+    over group-iNTT opening bases (B is 1/beta off the active rows); proof
+    bytes must equal the dense n-point path's."""
+    K, n = 10, 1 << 10
+    rng = random.Random(77)
+    s = rng.randrange(P)
+    N = 2 * n
+    srs = TableSRS.setup_from_toxic_waste(N - 1, N, s)
+    vals = list(range(N))
+    tv = StaticTableValues(vals, srs.g1)
+    table = StaticTable(opened=tv,
+                        committed=tv.commit(len(srs.g1), srs.g2, n))
+    params = ParamsKZG.setup_from_toxic_waste(K, s)
+    configs = {N: StaticTableConfig(N, srs.g1_lagrange,
+                                    srs.g_lagrange_opening_at_0)}
+    b0_bound = srs.g1[N - n + 1:]
+
+    class RangeCircuit:
+        @classmethod
+        def configure(cls, meta):
+            advice = meta.advice_column()
+            meta.lookup_static("range", lambda cells: [
+                (cells.query_advice(advice, 0), StaticTableId("rt"))])
+            return advice
+
+        def synthesize(self, config, layouter):
+            layouter.register_static_table(StaticTableId("rt"), table)
+
+            def assign(region):
+                for i in range(40):
+                    region.assign_advice(config, i, Value.known(3 * i + 1))
+            layouter.assign_region("rows", assign)
+
+    circuit = RangeCircuit()
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, configs, b0_bound, vk, circuit)
+
+    proof_sparse = create_proof(params, pk, [circuit], [[]],
+                                rng=random.Random(3))
+
+    import sha2cq_tpu.plonk.static_lookup as SL
+    assert pk.__dict__.get("_b0_sparse_cache"), \
+        "sparse bases did not engage at n=1024"
+    monkeypatch.setattr(SL, "_b0_sparse_bases", lambda pk_, params_: None)
+    proof_dense = create_proof(params, pk, [circuit], [[]],
+                               rng=random.Random(3))
+    assert proof_sparse == proof_dense, "sparse b0/p bases != dense bytes"
+
+    ok = verify_proof(params, vk,
+                      AccumulatorStrategy(params, rng=random.Random(4)),
+                      [[]], Blake2bRead(proof_sparse)).check()
+    assert ok

@@ -90,6 +90,24 @@ def main():
 
     h_device = os.environ.get("SHA2CQ_H_DEVICE", "0") == "1"
     stats["h_device"] = h_device
+    if h_device:
+        # the axon tunnel occasionally wedges a fresh session (every device
+        # call blocks forever).  Probe with a tiny op under a timer and
+        # exit(9) fast so the caller can retry in a new process instead of
+        # burning its whole budget on a dead session.
+        import threading
+        done = threading.Event()
+
+        def _op():
+            import jax
+            import jax.numpy as jnp
+            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+            done.set()
+
+        threading.Thread(target=_op, daemon=True).start()
+        if not done.wait(int(os.environ.get("SHA2CQ_TUNNEL_PROBE_S", "150"))):
+            print("tunnel probe wedged; exiting 9 for retry", flush=True)
+            os._exit(9)
     profiler.enable()
     t0 = time.time()
     proof = create_proof(params, pk, [circuit], [[digest]], rng=rng,

@@ -90,18 +90,22 @@ def _gwc_create_proof_native(params, queries, transcript, v: int) -> None:
             buf_cache[id(q.poly)] = b
         return b
 
+    from ...utils.profiling import profiler
     for z, qs in _group_by_point(queries):
         nmax = max(len(q.poly) for q in qs)
         acc = np.zeros((nmax, 4), dtype="<u8")
         # first query takes v^0: Horner over the group in reverse
-        for q in reversed(qs):
-            native_fr_fold_buf(acc, buf_of(q), v)
-        eval_batch = native_fr_eval_buf(acc, z)
+        with profiler.phase("gwc_fold"):
+            for q in reversed(qs):
+                native_fr_fold_buf(acc, buf_of(q), v)
+            eval_batch = native_fr_eval_buf(acc, z)
         c0 = int.from_bytes(acc[0].tobytes(), "little")
         acc[0] = np.frombuffer(
             ((c0 - eval_batch) % P).to_bytes(32, "little"), dtype="<u8")
-        witness = native_fr_kate_buf(acc, z)
-        transcript.write_point(params.commit(fr_unbuf(witness) + [0]))
+        with profiler.phase("gwc_kate"):
+            witness = native_fr_kate_buf(acc, z)
+        with profiler.phase("gwc_commit"):
+            transcript.write_point(params.commit_coeff_buf(witness))
 
 
 def gwc_verify_proof(

@@ -99,6 +99,13 @@ class ParamsKZG:
                      packed=M.packed_basis(self, "_g_lagrange_packed",
                                            self.g_lagrange))
 
+    def commit_coeff_buf(self, buf) -> CH.G1Affine:
+        """commit() for a (m, 4) canonical u64 coeff buffer — no bigint
+        round trip (the GWC witness commitments)."""
+        assert buf.shape[0] <= len(self.g)
+        packed = M.packed_basis(self, "_g_packed", self.g)
+        return M.msm_multi([(packed, None, buf, self.g)])[0]
+
     def commit_lagrange_many(self, columns) -> list:
         """Batch commit_lagrange over many value lists: one native
         g1_msm_multi call, OpenMP across columns (the prover's per-phase

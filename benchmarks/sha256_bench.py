@@ -11,12 +11,16 @@ Usage: python benchmarks/sha256_bench.py [nblocks] [k]
 The 32-bit table setup (~52 CQ table columns, up to 2^18 rows) is a
 one-time cost cached under ~/.cache/sha2cq_jax.
 """
+import faulthandler
 import hashlib
 import json
 import os
 import random
+import signal
 import sys
 import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

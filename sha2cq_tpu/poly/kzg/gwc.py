@@ -90,7 +90,9 @@ def _gwc_create_proof_native(params, queries, transcript, v: int) -> None:
             buf_cache[id(q.poly)] = b
         return b
 
+    from ...ops import msm as M
     from ...utils.profiling import profiler
+    witnesses = []
     for z, qs in _group_by_point(queries):
         nmax = max(len(q.poly) for q in qs)
         acc = np.zeros((nmax, 4), dtype="<u8")
@@ -103,9 +105,15 @@ def _gwc_create_proof_native(params, queries, transcript, v: int) -> None:
         acc[0] = np.frombuffer(
             ((c0 - eval_batch) % P).to_bytes(32, "little"), dtype="<u8")
         with profiler.phase("gwc_kate"):
-            witness = native_fr_kate_buf(acc, z)
-        with profiler.phase("gwc_commit"):
-            transcript.write_point(params.commit_coeff_buf(witness))
+            witnesses.append(native_fr_kate_buf(acc, z))
+    # one W commitment per opening point, all in ONE multi-MSM call
+    # (SHA-256's rotation set opens at ~19 distinct points); transcript
+    # order is unchanged — every W is written after the single v squeeze
+    with profiler.phase("gwc_commit"):
+        packed = M.packed_basis(params, "_g_packed", params.g)
+        cms = M.msm_multi([(packed, None, w, params.g) for w in witnesses])
+        for cm in cms:
+            transcript.write_point(cm)
 
 
 def gwc_verify_proof(

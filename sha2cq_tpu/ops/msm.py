@@ -365,11 +365,59 @@ def msm(scalars: Sequence[int], points, packed=None) -> CH.G1Affine:
 
 def packed_basis(obj, attr: str, points):
     """Lazily cache a pre-marshalled native basis buffer on `obj` (None when
-    the native lib is unavailable)."""
+    the native lib is unavailable).
+
+    Big bases (>= 2^14 points) are also disk-cached as raw limb bytes:
+    marshalling a 2^18-point Lagrange basis costs seconds of Python bigint
+    `to_bytes` per fresh process (most of the cold-process cq_msms tax),
+    while reading the 24 MB blob back is ~30 ms."""
     if attr not in obj.__dict__:
         from ..native_loader import pack_points_affine
-        obj.__dict__[attr] = pack_points_affine(points)
+        pts = points() if callable(points) else points
+        packed = None
+        if len(pts) >= (1 << 14) and not any(p is None for p in pts):
+            packed = _packed_basis_disk(pts)
+        if packed is None:
+            packed = pack_points_affine(pts)
+        obj.__dict__[attr] = packed
     return obj.__dict__[attr]
+
+
+def _packed_basis_disk(points):
+    """Disk-backed pack_points_affine: raw bytes keyed on (len, 3 sample
+    points).  Returns None (caller falls back) on any I/O problem."""
+    import ctypes
+    import hashlib
+    import os
+
+    from ..native_loader import get_lib, pack_points_affine
+    if get_lib() is None:
+        return None
+    n = len(points)
+    key = hashlib.sha256(
+        repr((n, points[0], points[n // 2], points[-1])).encode()
+    ).hexdigest()[:20]
+    cache_dir = os.path.expanduser(
+        os.environ.get("SHA2CQ_CACHE", "~/.cache/sha2cq_jax"))
+    path = os.path.join(cache_dir, f"packedbasis_{key}.bin")
+    try:
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                raw = f.read()
+            if len(raw) == 96 * n:
+                return (ctypes.c_uint64 * (12 * n)).from_buffer_copy(raw)
+    except Exception:
+        pass
+    packed = pack_points_affine(points)
+    if packed is not None:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(path + ".tmp", "wb") as f:
+                f.write(bytes(packed))
+            os.replace(path + ".tmp", path)
+        except Exception:
+            pass
+    return packed
 
 
 def msm_multi(jobs) -> list:

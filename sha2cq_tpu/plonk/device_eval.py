@@ -99,17 +99,20 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         # on the same prove.  On the TPU both collapse to milliseconds.
         use_mxu = domain.k >= 12
 
+    from ..utils.profiling import profiler as _prof
+
     plans = {}
     res_omegas = {}
-    if use_mxu:
-        for name, (nn, om) in {
-            "l2c": (domain.n, domain.omega_inv),
-            "c2e": (size, domain.extended_omega),
-            "e2c": (size, domain.extended_omega_inv),
-        }.items():
-            plan, res_om = MX.get_plan(nn, om, "Fr")
-            plans[name] = plan
-            res_omegas[name] = res_om
+    with _prof.phase("plans"):
+        if use_mxu:
+            for name, (nn, om) in {
+                "l2c": (domain.n, domain.omega_inv),
+                "c2e": (size, domain.extended_omega),
+                "e2c": (size, domain.extended_omega_inv),
+            }.items():
+                plan, res_om = MX.get_plan(nn, om, "Fr")
+                plans[name] = plan
+                res_omegas[name] = res_om
     ifft_div = _const(domain.ifft_divisor)
     ext_ifft_div = _const(domain.extended_ifft_divisor)
 
@@ -129,19 +132,25 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                            .astype(np.uint16))
 
     coset_pts = NTT.powers_host(domain.extended_omega, size, P)
-    consts = {
-        "fixed": np_stack(pk.fixed_cosets),
-        "sigma": np_stack(pk.permutation.cosets),
-        "l0": D.pack(pk.l0, FR),
-        "l_last": D.pack(pk.l_last, FR),
-        "l_active": D.pack(pk.l_active_row, FR),
-        "vanishing_inv": jnp.asarray(
-            np.tile(D.np_pack(domain.t_evaluations_inv, FR),
-                    size // len(domain.t_evaluations_inv))),
-        "zeta_times_coset": D.pack([H.FR_ZETA * w % P for w in coset_pts], FR),
-        "zeta_fwd": domain._zeta_pattern(domain.n, True),
-        "zeta_bwd": domain._zeta_pattern(size, False),
-    }
+    with _prof.phase("fixed_cosets"):
+        fixed_stack = np_stack(pk.fixed_cosets)
+    with _prof.phase("sigma_cosets"):
+        sigma_stack = np_stack(pk.permutation.cosets)
+    with _prof.phase("misc_consts"):
+        consts = {
+            "fixed": fixed_stack,
+            "sigma": sigma_stack,
+            "l0": D.pack(pk.l0, FR),
+            "l_last": D.pack(pk.l_last, FR),
+            "l_active": D.pack(pk.l_active_row, FR),
+            "vanishing_inv": jnp.asarray(
+                np.tile(D.np_pack(domain.t_evaluations_inv, FR),
+                        size // len(domain.t_evaluations_inv))),
+            "zeta_times_coset": D.pack(
+                [H.FR_ZETA * w % P for w in coset_pts], FR),
+            "zeta_fwd": domain._zeta_pattern(domain.n, True),
+            "zeta_bwd": domain._zeta_pattern(size, False),
+        }
 
     bf = cs.blinding_factors()
     chunk_len = max(pk.vk.cs_degree - 2, 1)
@@ -542,6 +551,38 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                    _os2.environ.get("SHA2CQ_H_ONEPROG", "1") == "1")
     aot_memo: dict = {}
 
+    def _aot_cache_key(args):
+        """Executable-identity key WITHOUT lowering.  The compiled h_all
+        executable is fully determined by (a) the shapes/dtypes of its traced
+        arguments + the static dims tuple, (b) the tracing code, and (c) the
+        jax/backend version — instrs/consts/scalars are traced ARGUMENTS, so
+        their values don't enter the program.  Keying on the lowered HLO text
+        (the first implementation) cost a 15 s lower() per process and was
+        fragile: HLO text embeds source loc() line numbers, so ANY edit to
+        this file forced a 30 s-8 min remote recompile.  (b) is covered by
+        hashing the source bytes of every module the trace runs through."""
+        import hashlib
+        spec = jax.tree_util.tree_map(
+            lambda a: (tuple(a.shape), str(a.dtype))
+            if hasattr(a, "shape") else a, args[:9])
+        backend = jax.devices()[0].client
+        h = hashlib.sha256(repr(spec).encode())
+        h.update(repr(args[9]).encode())          # static dims tuple
+        import sys
+        from ..fields import device as _dmod
+        from ..ops import mxu_ntt as _mxmod
+        from ..ops import pallas_field as _pfmod
+        from . import h_vm as _hvmod
+        for mod in (sys.modules[__name__], _hvmod, _mxmod, _dmod, _pfmod):
+            try:
+                with open(mod.__file__, "rb") as f:
+                    h.update(f.read())
+            except Exception:
+                h.update(repr(mod).encode())
+        h.update((jax.__version__
+                  + str(getattr(backend, "platform_version", ""))).encode())
+        return h.hexdigest()[:24]
+
     def _aot_executable(args):
         """Process-spanning compiled-executable cache for the fused h
         program.  The jax persistent cache never hits across processes on
@@ -550,9 +591,9 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         across processes), so every fresh prover process paid a 40 s-8 min
         remote recompile.  Here the executable is serialized
         (jax.experimental.serialize_executable) into the cache dir keyed on
-        the HLO text hash + platform version: a fresh process pays one
-        lower (~seconds) + deserialize (~0.1 s) instead (VERDICT r3 #7).
-        Returns None when disabled/unavailable — caller uses h_all_jit."""
+        _aot_cache_key: a fresh process pays one deserialize (~2 s) instead
+        (VERDICT r3 #7).  Returns None when disabled/unavailable — caller
+        uses h_all_jit."""
         if (_os2.environ.get("SHA2CQ_AOT_CACHE", "1") != "1"
                 or aot_memo.get("failed")):
             return None
@@ -560,27 +601,24 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         if exe is not None:
             return exe
         try:
-            import hashlib
             import pickle
 
             from jax.experimental.serialize_executable import (
                 deserialize_and_load, serialize)
-            low = h_all_jit.lower(*args)
-            backend = jax.devices()[0].client
-            key = hashlib.sha256(
-                (low.as_text() + jax.__version__
-                 + str(getattr(backend, "platform_version", ""))).encode()
-            ).hexdigest()[:24]
+            from ..utils.profiling import profiler as _prof
+            key = _aot_cache_key(args)
             cache_dir = jax.config.jax_compilation_cache_dir
             path = None
             if cache_dir:
                 path = _os2.path.join(cache_dir, "aot", f"h_all-{key}.pkl")
             if path and _os2.path.exists(path):
-                with open(path, "rb") as f:
-                    blob, in_tree, out_tree = pickle.load(f)
-                exe = deserialize_and_load(blob, in_tree, out_tree)
+                with _prof.phase("aot_deser"):
+                    with open(path, "rb") as f:
+                        blob, in_tree, out_tree = pickle.load(f)
+                    exe = deserialize_and_load(blob, in_tree, out_tree)
             else:
-                exe = low.compile()
+                with _prof.phase("aot_compile"):
+                    exe = h_all_jit.lower(*args).compile()
                 if path:
                     _os2.makedirs(_os2.path.dirname(path), exist_ok=True)
                     with open(path + ".tmp", "wb") as f:
@@ -637,19 +675,20 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                     # compile so two processes' keys can be compared cheaply
                     raise RuntimeError("SHA2CQ_H_LOWER_ONLY")
             exe = _aot_executable(args)
-            if exe is not None:
-                try:
-                    h_dev, adv_coeff = exe(*args[:9])
-                except Exception as e:
-                    # stale/incompatible blob: recompile through jit once
-                    print(f"[h_all aot] dispatch failed, recompiling: "
-                          f"{e!r:.120}", flush=True)
-                    aot_memo.clear()
-                    aot_memo["failed"] = True
+            with profiler.phase("dispatch"):
+                if exe is not None:
+                    try:
+                        h_dev, adv_coeff = exe(*args[:9])
+                    except Exception as e:
+                        # stale/incompatible blob: recompile through jit once
+                        print(f"[h_all aot] dispatch failed, recompiling: "
+                              f"{e!r:.120}", flush=True)
+                        aot_memo.clear()
+                        aot_memo["failed"] = True
+                        h_dev, adv_coeff = h_all_jit(*args)
+                else:
                     h_dev, adv_coeff = h_all_jit(*args)
-            else:
-                h_dev, adv_coeff = h_all_jit(*args)
-            jax.block_until_ready(h_dev)
+                jax.block_until_ready(h_dev)
         return h_dev, adv_coeff
 
     def run(inputs):

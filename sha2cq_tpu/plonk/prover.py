@@ -156,6 +156,30 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
     mark = profiler.marker("create_proof")
     pk.vk.hash_into(transcript)
 
+    # Prefetch the device h pipeline on a background thread: building the
+    # per-pk consts/plans and deserializing the AOT executable costs ~8 s of
+    # a fresh process and depends only on the proving key (shapes), so it
+    # overlaps the GIL-releasing native witness/commitment/CQ phases below.
+    # The h phase joins before use; get_h_fn memoizes on pk.
+    h_prefetch = None
+    if h_device and mesh is None:
+        import threading
+
+        from .device_eval import get_h_fn as _get_h_fn
+
+        def _prefetch_h():
+            try:
+                fn = _get_h_fn(pk, use_mxu=h_mxu)
+                pw = getattr(fn, "prewarm", None)
+                if pw is not None:
+                    pw()
+            except Exception as e:  # prefetch is an optimization only
+                print(f"[h prefetch] failed (h path will build inline): "
+                      f"{e!r:.120}", flush=True)
+
+        h_prefetch = threading.Thread(target=_prefetch_h, daemon=True)
+        h_prefetch.start()
+
     # instance values -> lagrange + coeff polys; raw values absorbed into the
     # transcript up front (prover.rs:100-131 / verifier.rs:52-55 order)
     instance_singles = []
@@ -306,6 +330,8 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
         use_mxu = h_mxu if mesh is None else False
 
         with profiler.phase("h_fn_build"):
+            if h_prefetch is not None:
+                h_prefetch.join()
             h_fn = get_h_fn(pk, use_mxu=use_mxu)
         adv_cols = [
             [b if b is not None else v

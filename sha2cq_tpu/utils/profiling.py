@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 import time
 from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
@@ -26,7 +27,17 @@ class Profiler:
         self._enabled = bool(os.environ.get("SHA2CQ_PROFILE"))
         self._trace_dir = os.environ.get("SHA2CQ_JAX_TRACE") or None
         self._records: "OrderedDict[str, Tuple[float, int]]" = OrderedDict()
-        self._stack: List[str] = []
+        # per-thread phase stacks: the prover prefetches the device h
+        # pipeline on a background thread, whose nested phases must not
+        # corrupt the main thread's path nesting
+        self._local = threading.local()
+
+    @property
+    def _stack(self) -> List[str]:
+        st = getattr(self._local, "stack", None)
+        if st is None:
+            st = self._local.stack = []
+        return st
 
     # -- control
     def enable(self) -> None:

@@ -604,6 +604,11 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                 deserialize_and_load, serialize)
             from ..utils.profiling import profiler as _prof
             key = _aot_cache_key(args)
+            if _os2.environ.get("SHA2CQ_AOT_DEBUG"):
+                spec = jax.tree_util.tree_map(
+                    lambda a: (tuple(a.shape), str(a.dtype))
+                    if hasattr(a, "shape") else a, args[:9])
+                print(f"[h_all aot] key {key} spec {spec!r:.400}", flush=True)
             exe = aot_memo.get(key)
             if exe is not None:
                 return exe
@@ -762,8 +767,9 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         args = (z16(Ca), z16(Ci), z16(Cz), z16(Cl), z16(Cst), scal,
                 jnp.asarray(vm_prog.instrs), cn, plans, dims)
         exe = _aot_executable(args)
-        if exe is not None and _os2.environ.get("SHA2CQ_H_PRELOAD",
-                                                "1") == "1":
+        if (exe is not None and not aot_memo.get(("preloaded", id(exe)))
+                and _os2.environ.get("SHA2CQ_H_PRELOAD", "1") == "1"):
+            aot_memo[("preloaded", id(exe))] = True
             # dispatch once on the zero inputs and drain with a 1-element
             # fetch: the first execution pays the remote PROGRAM LOAD of the
             # ~58 MB executable (minutes under tunnel load, and

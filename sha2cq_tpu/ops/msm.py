@@ -375,12 +375,15 @@ def packed_basis(obj, attr: str, points):
         from ..native_loader import pack_points_affine
         pts = points() if callable(points) else points
         packed = None
-        if len(pts) >= (1 << 14) and not any(p is None for p in pts):
+        if len(pts) >= DISK_BASIS_MIN and not any(p is None for p in pts):
             packed = _packed_basis_disk(pts)
         if packed is None:
             packed = pack_points_affine(pts)
         obj.__dict__[attr] = packed
     return obj.__dict__[attr]
+
+
+DISK_BASIS_MIN = 1 << 14  # smallest basis worth a disk round trip
 
 
 def _packed_basis_disk(points):

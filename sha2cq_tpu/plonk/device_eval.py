@@ -664,6 +664,10 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                 print("[h_all lower] hlo sha256",
                       hashlib.sha256(txt.encode()).hexdigest()[:16],
                       len(txt), flush=True)
+                dump = _os2.environ.get("SHA2CQ_H_LOWER_DUMP")
+                if dump:
+                    with open(dump, "w") as f:
+                        f.write(txt)
                 try:
                     from jax._src import cache_key as _ck
                     from jax._src import compiler as _comp

@@ -1125,6 +1125,21 @@ void fr_fold(u64 *acc, const u64 *add, long addn, const u64 *v, long n) {
     }
 }
 
+/* vals[i] *= b[i] (canonical in/out, elementwise) — the CQ prover's
+ * counts*inverse and support-correction products stay (n,4) limb buffers
+ * instead of round-tripping ~5M Python bigints per large-k proof. */
+void fr_vec_mul(u64 *vals, const u64 *b, long n) {
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static) if(n >= 65536)
+    #endif
+    for (long i = 0; i < n; i++) {
+        fr bm, t;
+        fr_to_mont(&bm, (const fr *)(b + 4 * i));
+        fr_mul(&t, (const fr *)(vals + 4 * i), &bm);
+        memcpy(vals + 4 * i, &t, sizeof t);
+    }
+}
+
 /* vals[i] *= c (canonical) */
 void fr_vec_scale(u64 *vals, const u64 *c, long n) {
     fr cm;

@@ -71,6 +71,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fr_ntt.argtypes = [U64P, U64P, ctypes.c_long, ctypes.c_int]
         lib.fr_fold.argtypes = [U64P, U64P, ctypes.c_long, U64P, ctypes.c_long]
         lib.fr_vec_scale.argtypes = [U64P, U64P, ctypes.c_long]
+        lib.fr_vec_mul.argtypes = [U64P, U64P, ctypes.c_long]
         lib.fr_eval_poly.argtypes = [U64P, ctypes.c_long, U64P, U64P]
         lib.fr_kate_div.argtypes = [U64P, ctypes.c_long, U64P, U64P]
         lib.fr_batch_inv.argtypes = [U64P, ctypes.c_long]
@@ -202,6 +203,12 @@ def native_msm_multi(jobs) -> Optional[List[tuple]]:
         bases[j] = ctypes.cast(packed, U64P)
         if indices is None:
             idxs[j] = None
+        elif isinstance(indices, np.ndarray):
+            # int64 index array — pointer used directly (per-element ctypes
+            # marshalling of ~100k-row index lists measured seconds/proof)
+            ia = np.ascontiguousarray(indices, dtype=np.int64)
+            keep.append(ia)
+            idxs[j] = ctypes.cast(ia.ctypes.data_as(LP), LP)
         else:
             ib = (ctypes.c_long * len(indices))(*indices)
             keep.append(ib)
@@ -480,6 +487,25 @@ def native_fr_fold_buf(acc_buf, add_buf, v: int) -> bool:
     addp = None if add_buf is None else _u64p(add_buf)
     lib.fr_fold(_u64p(acc_buf), addp, ctypes.c_long(addn), _u64p(vb),
                 ctypes.c_long(acc_buf.shape[0]))
+    return True
+
+
+def native_fr_vec_mul_buf(buf, other) -> bool:
+    """buf[i] *= other[i] elementwise over (n,4) canonical limb buffers."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.fr_vec_mul(_u64p(buf), _u64p(other), ctypes.c_long(buf.shape[0]))
+    return True
+
+
+def native_fr_scale_buf(buf, c: int) -> bool:
+    """buf[i] *= c over a (n,4) canonical limb buffer."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.fr_vec_scale(_u64p(buf), _u64p(fr_buf([c])),
+                     ctypes.c_long(buf.shape[0]))
     return True
 
 

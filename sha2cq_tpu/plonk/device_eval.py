@@ -800,9 +800,39 @@ def get_h_fn(pk, use_mxu: Optional[bool] = None):
     return fn
 
 
+def stack_columns(cols, n, sharding=None, ndev=1):
+    """Pack a list of columns (int lists or canonical (n,4) u64 limb
+    buffers) into the h-input device layout (16, C, n) and START the
+    host->device transfer (jnp.asarray is asynchronous).  Exposed so the
+    prover can stage the advice/instance stacks right after the witness
+    phase — the ~26 MB ships through the tunnel while the native CQ/
+    permutation phases run (see create_proof)."""
+    import numpy as np
+    dt = np.uint16 if sharding is None else np.uint32
+    if not cols:
+        out = jnp.zeros((NLIMB, 0, n), dtype=dt)
+    else:
+        if all(isinstance(c, np.ndarray) for c in cols):
+            packed = D.np_pack_buf(np.concatenate(cols), FR)
+        else:
+            from ..poly.arith import as_coeff_list
+            flat = [v for c in (as_coeff_list(c) for c in cols) for v in c]
+            packed = D.np_pack(flat, FR)
+        out = jnp.asarray(packed.reshape(NLIMB, len(cols), n).astype(dt))
+    if sharding is not None:
+        # pad the column axis to a multiple of the mesh size (consumers
+        # index columns by position, so zero columns at the end are inert)
+        pad = (-out.shape[1]) % ndev
+        if pad:
+            out = jnp.concatenate(
+                [out, jnp.zeros((NLIMB, pad, n), dtype=D.U32)], axis=1)
+        out = jax.device_put(out, sharding)
+    return out
+
+
 def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
                      gamma, theta, lookups, static_lookups, permutations,
-                     mesh=None) -> Dict:
+                     mesh=None, staged: Optional[Dict] = None) -> Dict:
     """Pack per-proof witness state into the h_fn input pytree (host->device
     transfer happens once here).
 
@@ -827,34 +857,10 @@ def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
     def stack(cols):
         # single-device stacks ship as uint16 (the limbs are canonical
         # 16-bit values): halves the host->device bytes through the ~6 MB/s
-        # tunnel; the fused h program widens them on device
-        dt = np.uint16 if sharding is None else np.uint32
-        if not cols:
-            out = jnp.zeros((NLIMB, 0, n), dtype=dt)
-        else:
-            # one native pack + ONE host->device transfer for the whole
-            # column stack (a per-column D.pack/jnp.stack paid ~100 tunnel
-            # transfers + a device-side concat: most of h_pack_inputs).
-            # Columns arrive as int lists or canonical (n, 4) limb buffers
-            # (arith.as_coeff_list form) — buffers pack without a bigint
-            # round trip.
-            if all(isinstance(c, np.ndarray) for c in cols):
-                packed = D.np_pack_buf(np.concatenate(cols), FR)
-            else:
-                from ..poly.arith import as_coeff_list
-                flat = [v for c in (as_coeff_list(c) for c in cols)
-                        for v in c]
-                packed = D.np_pack(flat, FR)
-            out = jnp.asarray(packed.reshape(NLIMB, len(cols), n).astype(dt))
-        if sharding is not None:
-            # pad the column axis to a multiple of the mesh size (consumers
-            # index columns by position, so zero columns at the end are inert)
-            pad = (-out.shape[1]) % ndev
-            if pad:
-                out = jnp.concatenate(
-                    [out, jnp.zeros((NLIMB, pad, n), dtype=D.U32)], axis=1)
-            out = jax.device_put(out, sharding)
-        return out
+        # tunnel; the fused h program widens them on device.  One native
+        # pack + ONE host->device transfer per stack (a per-column
+        # D.pack/jnp.stack paid ~100 tunnel transfers + a device concat).
+        return stack_columns(cols, n, sharding=sharding, ndev=ndev)
 
     z_cols = [s["lagrange"] for s in (permutations[0]["sets"] if permutations else [])]
     lk_cols = []
@@ -868,9 +874,12 @@ def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
     ch = (jnp.asarray(D.np_pack(list(challenges), FR)
                       .reshape(NLIMB, len(challenges), 1))
           if challenges else jnp.zeros((NLIMB, 0, 1), dtype=D.U32))
+    staged = staged or {}
     return {
-        "advice": stack(advice_values[0]),
-        "instance": stack(instance_values[0]),
+        "advice": (staged["advice"] if "advice" in staged
+                   else stack(advice_values[0])),
+        "instance": (staged["instance"] if "instance" in staged
+                     else stack(instance_values[0])),
         "z": stack(z_cols),
         "lookups": stack(lk_cols),
         "static": stack(st_cols),

@@ -254,6 +254,24 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
     mark("witness_and_advice_commit")
     challenges_list = [challenges[i] for i in range(cs.num_challenges)]
 
+    # Stage the advice/instance device stacks NOW: jnp.asarray transfers are
+    # asynchronous, so the ~26 MB of witness limbs ships through the tunnel
+    # while the native CQ/permutation phases below run.  (z/lookup/CQ
+    # columns can't stage early — they are produced by those phases.)
+    staged_h = None
+    if h_device and mesh is None:
+        from .device_eval import stack_columns
+        staged_h = []
+        for c_idx in range(len(circuits)):
+            adv_c = [b if b is not None else v
+                     for b, v in zip(advice_singles[c_idx]["bufs"],
+                                     advice_singles[c_idx]["values"])]
+            staged_h.append({
+                "advice": stack_columns(adv_c, n),
+                "instance": stack_columns(
+                    instance_singles[c_idx]["values"], n),
+            })
+
     # ---- theta; lookups + CQ commit ------------------------------------
     theta = transcript.squeeze_challenge()
 
@@ -348,7 +366,8 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                     [instance_singles[c_idx]["values"]],
                     challenges_list, y, beta, gamma, theta,
                     [lookups_committed[c_idx]], [static_log[c_idx]],
-                    [permutations[c_idx]], mesh=mesh)
+                    [permutations[c_idx]], mesh=mesh,
+                    staged=staged_h[c_idx] if staged_h else None)
             h_dev, advice_coeff_dev = h_fn(inputs)
             with profiler.phase("h_unpack"):
                 h_bufs.append(Dv.unpack_buf(h_dev, Dv.FR))

@@ -507,10 +507,11 @@ def static_lookup_commit_all(args, pk, params, theta, challenges, advice,
                                         params.g_lagrange),
                          None, acc, params.g_lagrange))
             job_of.append((a_i, "f"))
+        counts_buf = np.zeros((len(counts), 4), dtype="<u8")
+        counts_buf[:, 0] = counts
         jobs.append((M.packed_basis(table_config, "_g1l_packed",
                                     table_config.g1_lagrange),
-                     idxs.tolist(), counts.tolist(),
-                     table_config.g1_lagrange))
+                     idxs, counts_buf, table_config.g1_lagrange))
         job_of.append((a_i, "m"))
         results.append({
             "f_buf": acc,
@@ -552,10 +553,15 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
     usable_rows = n - (bf + 1)
     beta_inv = inv_mod(beta, P)
 
-    # ---- A side: gathered T_i folds, ONE concatenated batch inversion
+    # ---- A side: gathered T_i folds, ONE concatenated batch inversion,
+    # counts*inverse as ONE elementwise native multiply — the whole side
+    # stays (n,4) limb buffers (no bigint round trips; at k=15 the Python
+    # per-element path cost ~2 s of the warm prove)
     with profiler.phase("a_vals"):
+        from ..native_loader import (native_fr_batch_inv_buf,
+                                     native_fr_vec_mul_buf)
         per_tables = []
-        concat: List[int] = []
+        bufs = []
         split = [0]
         for c in committed_list:
             tables = [pk.static_table_mapping[tid] for tid in c["table_ids"]]
@@ -563,16 +569,19 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
             acc = _table_limbs(tables[0])[idxs_np].copy()
             for t in tables[1:]:
                 native_fr_fold_buf(acc, _table_limbs(t)[idxs_np], theta)
-            tvs = fr_unbuf(acc)
-            concat.extend((tv + beta) % P for tv in tvs)
-            split.append(len(concat))
+            bufs.append(acc)
+            split.append(split[-1] + acc.shape[0])
             per_tables.append(tables)
-        invs = batch_inv(concat, P)
-        a_vals_per = [
-            [int(cnt) * dv % P
-             for cnt, dv in zip(c["counts"], invs[split[i]:split[i + 1]])]
-            for i, c in enumerate(committed_list)
-        ]
+        cc_a = np.concatenate(bufs) if bufs else np.zeros((0, 4), "<u8")
+        beta_tile = np.tile(fr_buf([beta]), (cc_a.shape[0], 1))
+        native_fr_fold_buf(cc_a, beta_tile, 1)      # += beta
+        native_fr_batch_inv_buf(cc_a)               # 1/(T+beta)
+        counts_cat = np.zeros((cc_a.shape[0], 4), dtype="<u8")
+        counts_cat[:, 0] = np.concatenate(
+            [c["counts"] for c in committed_list]) if committed_list else 0
+        native_fr_vec_mul_buf(cc_a, counts_cat)     # m_i/(T_i+beta)
+        a_vals_per = [cc_a[split[i]:split[i + 1]]
+                      for i in range(len(committed_list))]
 
     # ---- B side: buffer-resident all the way — ONE concatenated (f+beta)
     # inversion, ONE multi-iNTT; the resulting coeff polys stay (n, 4) limb
@@ -592,12 +601,16 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
         sparse_bases = _b0_sparse_bases(pk, params)
         corr_per = None
         if sparse_bases is not None:
+            from ..native_loader import native_fr_scale_buf
             n_inv = inv_mod(n, P)
+            minus_binv = fr_buf([(P - beta_inv) % P])
             corr_per = []
             for i, sup in enumerate(supports):
-                rows = fr_unbuf(cc[i * usable_rows + sup])
-                corr_per.append([
-                    (bi - beta_inv) * n_inv % P for bi in rows])
+                rows = cc[i * usable_rows + sup]     # fancy index -> copy
+                tile = np.tile(minus_binv, (rows.shape[0], 1))
+                native_fr_fold_buf(rows, tile, 1)    # B_i - 1/beta
+                native_fr_scale_buf(rows, n_inv)     # * 1/n
+                corr_per.append(rows)
 
         omega_inv = pow(domain.omega, P - 2, P)
         tw_inv = _host_twiddle_buf(omega_inv, n, P)
@@ -620,8 +633,8 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
         for i, c in enumerate(committed_list):
             tables = per_tables[i]
             table_config = pk.static_table_configs[tables[0].size]
-            idxs = c["idxs"].tolist()
-            a_vals = a_vals_per[i]
+            idxs = c["idxs"]                      # int64 array: pointer-passed
+            a_vals = a_vals_per[i]                # (s,4) limb buffer
             jobs.append((M.packed_basis(table_config, "_g1l_packed",
                                         table_config.g1_lagrange),
                          idxs, a_vals, table_config.g1_lagrange))
@@ -635,7 +648,7 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
                              idxs, a_vals, table.qs))
                 job_of.append((i, ("qa", t_i)))
             if corr_per is not None and len(supports[i]):
-                sup = supports[i].tolist()
+                sup = supports[i]
                 (b0p, b0pts), (pp, ppts) = sparse_bases
                 jobs.append((b0p, sup, corr_per[i], b0pts))
                 job_of.append((i, "b0"))

@@ -129,3 +129,35 @@ def test_glv_scalar_mul_matches_double_and_add():
         a1 = CH.jac_to_affine(NL._unpack_jac(o1))
         a2 = CH.jac_to_affine(NL._unpack_jac(o2))
         assert a1 == a2, f"GLV mismatch at k={k:#x}"
+
+
+def test_fr_vec_mul_and_scale_bufs():
+    """fr_vec_mul (elementwise canonical product) and the scale/fold buffer
+    helpers must match Python bigint arithmetic — the CQ prover's A-side
+    counts/(T+beta) pipeline rides these."""
+    import random
+
+    import numpy as np
+
+    from sha2cq_tpu import native_loader as NL
+    from sha2cq_tpu.fields import host as F
+
+    if NL.get_lib() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    rng = random.Random(5)
+    n = 300
+    a = [rng.randrange(F.FR_MOD) for _ in range(n)]
+    b = [rng.randrange(F.FR_MOD) for _ in range(n)] 
+    b[0] = 0
+    b[1] = 1
+    c = rng.randrange(F.FR_MOD)
+
+    buf = NL.fr_buf(a)
+    assert NL.native_fr_vec_mul_buf(buf, NL.fr_buf(b))
+    assert NL.fr_unbuf(buf) == [x * y % F.FR_MOD for x, y in zip(a, b)]
+
+    buf2 = NL.fr_buf(a)
+    assert NL.native_fr_scale_buf(buf2, c)
+    assert NL.fr_unbuf(buf2) == [x * c % F.FR_MOD for x in a]

@@ -486,6 +486,12 @@ static void g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
         int lg = 0;
         while ((1L << lg) < n) lg++;
         c = lg - 5;
+        {   /* window override for tuning (SHA2CQ_MSM_C=<bits>) */
+            extern char *getenv(const char *);
+            extern int atoi(const char *);
+            const char *e = getenv("SHA2CQ_MSM_C");
+            if (e && *e) { int v = atoi(e); if (v) c = v; }
+        }
         if (c < 8) c = 8;
         if (c > 14) c = 14;
     }

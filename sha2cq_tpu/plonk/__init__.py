@@ -3,7 +3,7 @@ from .circuit_ir import (Challenge, Column, ConstraintSystem, Expression,
                          Selector, StaticTableId, TableColumn)
 from .keygen import keygen_pk, keygen_vk
 from .keys import ProvingKey, VerifyingKey
-from .prover import create_proof
+from .prover import create_proof, prewarm_prover
 from .static_tables import (StaticCommittedTable, StaticTable,
                             StaticTableConfig, StaticTableValues)
 from .verifier import verify_proof
@@ -11,6 +11,6 @@ from .verifier import verify_proof
 __all__ = [
     "Challenge", "Column", "ConstraintSystem", "Expression", "Selector",
     "StaticTableId", "TableColumn", "keygen_pk", "keygen_vk", "ProvingKey",
-    "VerifyingKey", "create_proof", "StaticCommittedTable", "StaticTable",
+    "VerifyingKey", "create_proof", "prewarm_prover", "StaticCommittedTable", "StaticTable",
     "StaticTableConfig", "StaticTableValues", "verify_proof",
 ]

@@ -179,3 +179,65 @@ def render_text(k: int, circuit, max_rows: int = 64) -> str:
     lines = ["".join(row) for row in grid]
     header = ("a" * n_adv) + ("f" * n_fix) + ("i" * cs.num_instance_columns)
     return "\n".join([header] + lines)
+
+
+def render_png(k: int, circuit, path: str, cell_detail: bool = True,
+               dpi: int = 150) -> str:
+    """Render the layout to a PNG file via matplotlib (the reference's
+    plotters BitMapBackend output, dev/graph/layout.rs + sha/src/main.rs's
+    simple_circuit.png).  Same geometry and palette as render_svg; returns
+    the written path.  Raises ImportError when matplotlib is unavailable —
+    render_svg/render_text carry the headless need."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    cs, cap = capture_layout(k, circuit)
+    n_adv, n_fix = cs.num_advice_columns, cs.num_fixed_columns
+    n_inst = cs.num_instance_columns
+    ncols = n_adv + n_fix + n_inst
+    max_row = max((r for _, _, r in cap.cells), default=0) + 1
+
+    def col_ix(kind: str, idx: int) -> int:
+        base = {"advice": 0, "fixed": n_adv, "selector": n_adv,
+                "instance": n_adv + n_fix}[kind]
+        return base + idx
+
+    fig, ax = plt.subplots(
+        figsize=(max(3.0, 0.18 * ncols + 1.0),
+                 max(2.5, 0.12 * max_row + 0.8)))
+    ax.set_xlim(0, ncols)
+    ax.set_ylim(max_row, 0)                     # rows grow downward
+    for ridx, region in enumerate(cap.regions):
+        rows = [r for _, _, r in region["cells"]]
+        cols = [col_ix(kind, c) for kind, c, _ in region["cells"]]
+        lo, hi = min(rows), max(rows)
+        color = _PALETTE[ridx % len(_PALETTE)]
+        ax.add_patch(Rectangle((min(cols), lo), max(cols) - min(cols) + 1,
+                               hi - lo + 1, facecolor=color, alpha=0.35,
+                               edgecolor=color))
+        ax.text(min(cols), lo - 0.15, region["name"][:24], fontsize=6,
+                color="#374151")
+    if cell_detail and len(cap.cells) <= 20000:
+        for kind, c, r in cap.cells:
+            ax.add_patch(Rectangle((col_ix(kind, c) + 0.08, r + 0.08),
+                                   0.84, 0.84, facecolor="#111827",
+                                   alpha=0.13, edgecolor="none"))
+    for i in range(ncols):
+        kind = ("advice" if i < n_adv else
+                "fixed" if i < n_adv + n_fix else "instance")
+        label = {"advice": "a", "fixed": "f", "instance": "i"}[kind] + str(
+            i - (0 if kind == "advice" else
+                 n_adv if kind == "fixed" else n_adv + n_fix))
+        ax.text(i + 0.1, -0.3, label, fontsize=6,
+                color={"advice": "#1d4ed8", "fixed": "#b91c1c",
+                       "instance": "#15803d"}[kind])
+    ax.set_xticks([])
+    ax.set_yticks(range(0, max_row, 8))
+    ax.tick_params(labelsize=6)
+    ax.set_frame_on(False)
+    fig.tight_layout()
+    fig.savefig(path, dpi=dpi)
+    plt.close(fig)
+    return path

@@ -45,3 +45,17 @@ def test_dot_graph():
     assert dot.startswith("digraph circuit {") and dot.endswith("}")
     assert "simple" in dot and "rows 0..1" in dot
     assert "root -> r0;" in dot
+
+
+def test_render_png_writes_image(tmp_path):
+    """PNG output (reference plotters BitMapBackend / simple_circuit.png,
+    dev/graph/layout.rs) — skipped when matplotlib is absent."""
+    import pytest
+    pytest.importorskip("matplotlib")
+    from sha2cq_tpu.dev.layout import render_png
+    path = str(tmp_path / "layout.png")
+    out = render_png(4, SimpleCircuit(7, 9), path)
+    assert out == path
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    assert magic == b"\x89PNG\r\n\x1a\n"

@@ -112,10 +112,12 @@ def main():
         if not done.wait(int(os.environ.get("SHA2CQ_TUNNEL_PROBE_S", "150"))):
             print("tunnel probe wedged; exiting 9 for retry", flush=True)
             os._exit(9)
+    multiopen = os.environ.get("SHA2CQ_MULTIOPEN", "gwc")
+    stats["multiopen"] = multiopen
     profiler.enable()
     t0 = time.time()
     proof = create_proof(params, pk, [circuit], [[digest]], rng=rng,
-                         h_device=h_device)
+                         h_device=h_device, multiopen=multiopen)
     stats["prove_s"] = round(time.time() - t0, 1)
     stats["proof_bytes"] = len(proof)
     print("prove:", stats["prove_s"], "s; proof:", len(proof), "B")
@@ -123,7 +125,8 @@ def main():
 
     t0 = time.time()
     ok = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
-                      [[digest]], Blake2bRead(proof)).check()
+                      [[digest]], Blake2bRead(proof),
+                      multiopen=multiopen).check()
     stats["verify_s"] = round(time.time() - t0, 1)
     print("verify:", ok, stats["verify_s"], "s")
     assert ok
@@ -134,7 +137,8 @@ def main():
         profiler.reset()
         t0 = time.time()
         proof_w = create_proof(params, pk, [circuit], [[digest]],
-                               rng=random.Random(7), h_device=True)
+                               rng=random.Random(7), h_device=True,
+                               multiopen=multiopen)
         stats["prove_warm_s"] = round(time.time() - t0, 2)
         print(profiler.report("warm prove phases"))
         assert len(proof_w) == len(proof)

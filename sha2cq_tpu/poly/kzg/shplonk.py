@@ -76,6 +76,14 @@ def _intermediate_sets(queries):
 
 def shplonk_create_proof(params, queries: Sequence[ProverQuery], transcript) -> None:
     y = transcript.squeeze_challenge()
+    from ...native_loader import get_lib
+    if get_lib() is not None and max(len(q.poly) for q in queries) >= 512:
+        _shplonk_create_proof_native(params, queries, transcript, y)
+        return
+    _shplonk_create_proof_python(params, queries, transcript, y)
+
+
+def _shplonk_create_proof_python(params, queries, transcript, y: int) -> None:
     # buffer-form polys (see arith.as_coeff_list) -> lists once up front;
     # the set machinery below keys and folds them as plain int lists.  The
     # id-keyed cache preserves poly identity across queries (a poly opened
@@ -155,6 +163,104 @@ def shplonk_create_proof(params, queries: Sequence[ProverQuery], transcript) -> 
     z0_diff_inv = inv_mod(z_diffs[0], P)
     h2 = A.poly_scale(h2, z0_diff_inv)
     transcript.write_point(params.commit(h2))
+
+
+def _shplonk_create_proof_native(params, queries, transcript, y: int) -> None:
+    """Native-kernel SHPLONK prover: every poly fold is a Horner
+    native_fr_fold_buf over resident (n,4) u64 limb buffers, divisions are
+    native kate kernels, and both commitments ride commit_coeff_buf — the
+    pure-Python fold cost ~6 s on the SHA-256 k=13 flagship (~180 polys
+    x 8192 coeffs of bigint poly_add/poly_scale), vs ~0.3 s here.
+    Transcript bytes are identical to the list path (pinned in
+    tests/test_kzg_multiopen.py)."""
+    import numpy as np
+
+    from ...native_loader import (fr_buf, native_fr_eval_buf,
+                                  native_fr_fold_buf, native_fr_kate_buf,
+                                  native_fr_scale_buf)
+
+    buf_cache: dict = {}
+
+    def buf_of(p):
+        if isinstance(p, np.ndarray):
+            return p
+        b = buf_cache.get(id(p))
+        if b is None:
+            b = buf_cache[id(p)] = fr_buf([c % P for c in p])
+        return b
+
+    def sub_low_coeffs(acc, small):
+        """acc[0..len(small)] -= small (tiny interpolants; per-coeff ints)."""
+        for d, coef in enumerate(small):
+            cur = int.from_bytes(acc[d].tobytes(), "little")
+            acc[d] = np.frombuffer(
+                ((cur - coef) % P).to_bytes(32, "little"), dtype="<u8")
+
+    # grouping runs on the ORIGINAL query objects: _commitment_key is
+    # id-based, and the prover reuses one poly object per logical column
+    # across its opening points (same invariant the list path preserves
+    # with its id-keyed cache)
+    sets, super_points, _ = _intermediate_sets(queries)
+
+    for s in sets:
+        s["ldes"] = []
+        for poly in s["entries"]:
+            evals = [native_fr_eval_buf(buf_of(poly), pt)
+                     for pt in s["points"]]
+            s["ldes"].append(A.lagrange_interpolate(s["points"], evals))
+
+    v = transcript.squeeze_challenge()
+
+    # h_x = sum_i v^i * [ (sum_j y^j (P_ij - R_ij)) / Z_i ]
+    q_bufs = []
+    for s in sets:
+        nmax = max(buf_of(p).shape[0] for p in s["entries"])
+        acc = np.zeros((nmax, 4), dtype="<u8")
+        for poly in reversed(s["entries"]):           # Horner in y
+            native_fr_fold_buf(acc, buf_of(poly), y)
+        r_fold: List[int] = []
+        for lde in reversed(s["ldes"]):
+            r_fold = A.poly_add(A.poly_scale(r_fold, y), lde)
+        sub_low_coeffs(acc, r_fold)
+        for r in s["points"]:
+            acc = native_fr_kate_buf(acc, r)
+        q_bufs.append(acc)
+    h_x = np.zeros((params.n, 4), dtype="<u8")
+    for q in reversed(q_bufs):                        # Horner in v
+        native_fr_fold_buf(h_x, q, v)
+    transcript.write_point(params.commit_coeff_buf(h_x))
+
+    u = transcript.squeeze_challenge()
+
+    # linearisation: l_x = sum_i (z_i v^i) (sum_j y^j (P_ij - r_ij(u)))
+    #                      - Z_T(u) h_x
+    l_x = np.zeros((params.n, 4), dtype="<u8")
+    z_diffs = []
+    pv = 1
+    for s in sets:
+        diffs = [pt for pt in super_points if pt not in s["points"]]
+        z_i = _eval_vanishing(diffs, u)
+        z_diffs.append(z_i)
+        nmax = max(buf_of(p).shape[0] for p in s["entries"])
+        inner = np.zeros((nmax, 4), dtype="<u8")
+        r_eval = 0
+        for poly in reversed(s["entries"]):
+            native_fr_fold_buf(inner, buf_of(poly), y)
+        for lde in reversed(s["ldes"]):
+            r_eval = (r_eval * y + A.eval_polynomial(lde, u)) % P
+        sub_low_coeffs(inner, [r_eval])
+        native_fr_scale_buf(inner, z_i * pv % P)
+        native_fr_fold_buf(l_x, inner, 1)             # l_x += inner
+        pv = pv * v % P
+
+    zt_eval = _eval_vanishing(super_points, u)
+    hx_scaled = h_x.copy()
+    native_fr_scale_buf(hx_scaled, (P - zt_eval) % P)
+    native_fr_fold_buf(l_x, hx_scaled, 1)
+    assert native_fr_eval_buf(l_x, u) == 0, "SHPLONK linearisation sanity"
+    h2 = native_fr_kate_buf(l_x, u)
+    native_fr_scale_buf(h2, inv_mod(z_diffs[0], P))
+    transcript.write_point(params.commit_coeff_buf(h2))
 
 
 def shplonk_verify_proof(params, queries: Sequence[VerifierQuery], transcript,

@@ -217,3 +217,47 @@ def test_shplonk_full_protocol():
     batcher = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
                            [[]], _Read(proof), multiopen="shplonk")
     assert batcher.check()
+
+
+def test_shplonk_native_path_matches_python_bytes():
+    """The native-kernel SHPLONK prover (buffer Horner folds + native kate)
+    must produce byte-identical transcripts to the list path — same shape of
+    guarantee as the GWC native path and the device h-path."""
+    import random
+
+    import pytest
+
+    from sha2cq_tpu.native_loader import get_lib
+    from sha2cq_tpu.poly.kzg import shplonk as S
+    from sha2cq_tpu.poly.kzg.gwc import ProverQuery
+    from sha2cq_tpu.poly.kzg.params import ParamsKZG
+    from sha2cq_tpu.utils.transcript import Blake2bWrite
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+
+    rng = random.Random(11)
+    k = 10
+    params = ParamsKZG.setup_from_toxic_waste(k, rng.randrange(P))
+    n = params.n
+    polys = [[rng.randrange(P) for _ in range(n)] for _ in range(5)]
+    x = rng.randrange(P)
+    wx = rng.randrange(P)
+    # poly 0,1 open at {x, wx}; 2,3 at {x}; 4 at {wx}: three rotation sets
+    queries = [
+        ProverQuery(x, polys[0]), ProverQuery(wx, polys[0]),
+        ProverQuery(x, polys[1]), ProverQuery(wx, polys[1]),
+        ProverQuery(x, polys[2]), ProverQuery(x, polys[3]),
+        ProverQuery(wx, polys[4]),
+    ]
+
+    t_native = Blake2bWrite()
+    y1 = t_native.squeeze_challenge()
+    S._shplonk_create_proof_native(params, queries, t_native, y1)
+
+    t_python = Blake2bWrite()
+    y2 = t_python.squeeze_challenge()
+    assert y1 == y2
+    S._shplonk_create_proof_python(params, queries, t_python, y2)
+
+    assert t_native.finalize() == t_python.finalize()

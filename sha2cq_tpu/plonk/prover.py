@@ -293,6 +293,7 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
                 "instance": stack_columns(
                     instance_singles[c_idx]["values"], n),
             })
+        mark("h_stage_advice")
 
     # ---- theta; lookups + CQ commit ------------------------------------
     theta = transcript.squeeze_challenge()

@@ -126,3 +126,27 @@ def test_h_device_multi_circuit_matches_host():
     batcher = verify_proof(params, vk, AccumulatorStrategy(params, rng=rng),
                            [[inst1], [inst2]], Blake2bRead(proof_dev))
     assert batcher.check()
+
+
+def test_prewarm_prover_idempotent_and_usable():
+    """prewarm_prover returns one thread per pk (boot-time warm API) and a
+    subsequent device-path proof still matches the host path byte for
+    byte."""
+    from sha2cq_tpu.plonk import create_proof as _cp
+    from sha2cq_tpu.plonk import prewarm_prover
+
+    K = 3
+    rng, srs, t1, t2, params, configs, b0 = E._setup(K)
+    circuit = E.MyCircuit(t1, t2)
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, configs, b0, vk, circuit)
+
+    th1 = prewarm_prover(pk, h_mxu=True)
+    th2 = prewarm_prover(pk)
+    assert th1 is th2
+    th1.join(timeout=300)
+
+    proof_host = _cp(params, pk, [circuit], [[]], rng=random.Random(5))
+    proof_dev = _cp(params, pk, [circuit], [[]], rng=random.Random(5),
+                    h_device=True, h_mxu=True)
+    assert proof_dev == proof_host

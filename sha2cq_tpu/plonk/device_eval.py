@@ -487,7 +487,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
     # conversions + the h-VM + the quotient into ONE stable-keyed program
     # (lax.map-chunked NTTs keep its size column-count-independent), so a
     # prove pays the load tax once.
-    def h_all_fn(adv, inst, zc, lkc, static_cols, scal, instrs, cn, pls, dims):
+    def h_all_fn(adv, inst, zc, lkc, st_b, st_f, scal, instrs, cn, pls, dims):
         (Ca, Ci, Cz, Cl, res_l2c, res_c2e, res_e2c, n_reg, out_reg) = dims
         from . import h_vm as _h_vm
         from ..ops import mxu_ntt as MXX
@@ -505,6 +505,12 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         coeff = MXX.mxu_ntt_batch_mapped(
             lag16, pls["l2c"], res_l2c, FR, chunk=pick_chunk(domain.n),
             scale=cn["ifft_div"], out_dtype=jnp.uint16)
+        # CQ (b, f) coeff pairs arrive as TWO stacks so the beta-independent
+        # f half could start its host->device transfer during the CQ
+        # phases; interleave back to the [b0, f0, b1, f1, ...] group layout
+        Q = st_b.shape[1]
+        static_cols = jnp.stack([st_b, st_f], axis=2).reshape(
+            NLIMB, 2 * Q, st_b.shape[2])
         ext_in = jnp.concatenate([coeff, static_cols], axis=1)
         # coeff -> extended-coset evals: ZETA scale, zero-pad and NTT all
         # inside the map body (per-chunk working set); u16 extended state
@@ -545,7 +551,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         # ~50 MB device->host fetch for the x-eval polynomials
         return h_out, coeff[:, :Ca]    # already u16 (canonical limbs)
 
-    h_all_jit = jax.jit(h_all_fn, static_argnums=(9,))
+    h_all_jit = jax.jit(h_all_fn, static_argnums=(10,))
     import os as _os2
     use_oneprog = (use_mxu and vm_prog is not None and
                    _os2.environ.get("SHA2CQ_H_ONEPROG", "1") == "1")
@@ -564,10 +570,10 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         import hashlib
         spec = jax.tree_util.tree_map(
             lambda a: (tuple(a.shape), str(a.dtype))
-            if hasattr(a, "shape") else a, args[:9])
+            if hasattr(a, "shape") else a, args[:10])
         backend = jax.devices()[0].client
         h = hashlib.sha256(repr(spec).encode())
-        h.update(repr(args[9]).encode())          # static dims tuple
+        h.update(repr(args[10]).encode())         # static dims tuple
         import sys
         from ..fields import device as _dmod
         from ..ops import mxu_ntt as _mxmod
@@ -652,7 +658,8 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
             cn["ifft_div"] = ifft_div
             cn["ext_ifft_div"] = ext_ifft_div
             args = (inputs["advice"], inputs["instance"], inputs["z"],
-                    inputs["lookups"], inputs["static"], jnp.asarray(scal_np),
+                    inputs["lookups"], inputs["static_b"],
+                    inputs["static_f"], jnp.asarray(scal_np),
                     jnp.asarray(vm_prog.instrs), cn, plans, dims)
             if _os2.environ.get("SHA2CQ_H_LOWER_DEBUG"):
                 # persistent-cache-key diagnosis: hash the lowered module and
@@ -687,7 +694,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
             with profiler.phase("dispatch"):
                 if exe is not None:
                     try:
-                        h_dev, adv_coeff = exe(*args[:9])
+                        h_dev, adv_coeff = exe(*args[:10])
                     except Exception as e:
                         # stale/incompatible blob: recompile through jit once
                         print(f"[h_all aot] dispatch failed, recompiling: "
@@ -706,6 +713,12 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         if use_oneprog and eager and "scalars_raw" in inputs:
             return run_oneprog(inputs)
         inputs = {k: v for k, v in inputs.items() if k != "scalars_raw"}
+        if "static" not in inputs:
+            # fallback paths consume the merged [b0, f0, ...] stack
+            sb = inputs.pop("static_b")
+            sf = inputs.pop("static_f")
+            inputs["static"] = jnp.stack([sb, sf], axis=2).reshape(
+                NLIMB, 2 * sb.shape[1], sb.shape[2])
         if inputs["advice"].dtype != D.U32:
             inputs = {k: (v.astype(D.U32) if hasattr(v, "dtype") and
                           v.dtype == jnp.uint16 else v)
@@ -768,7 +781,8 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         cn = dict(consts)
         cn["ifft_div"] = ifft_div
         cn["ext_ifft_div"] = ext_ifft_div
-        args = (z16(Ca), z16(Ci), z16(Cz), z16(Cl), z16(Cst), scal,
+        nq = Cst // 2
+        args = (z16(Ca), z16(Ci), z16(Cz), z16(Cl), z16(nq), z16(nq), scal,
                 jnp.asarray(vm_prog.instrs), cn, plans, dims)
         exe = _aot_executable(args)
         if (exe is not None and not aot_memo.get(("preloaded", id(exe)))
@@ -781,7 +795,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
             # keeps that cost on the prefetch thread instead of the
             # prover's first h fetch
             try:
-                out = exe(*args[:9])
+                out = exe(*args[:10])
                 jax.device_get(out[0][:1, :1])
             except Exception as e:
                 print(f"[h prewarm] preload dispatch failed: {e!r:.120}",
@@ -867,22 +881,22 @@ def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
     for lk in (lookups[0] if lookups else []):
         lk_cols.extend([lk["product_lagrange"], lk["permuted_input"],
                         lk["permuted_table"]])
-    st_cols = []
-    for sl in (static_lookups[0] if static_lookups else []):
-        st_cols.extend([sl["b"], sl["f"]])
+    st_b_cols = [sl["b"] for sl in (static_lookups[0] if static_lookups
+                                    else [])]
+    st_f_cols = [sl["f"] for sl in (static_lookups[0] if static_lookups
+                                    else [])]
 
     ch = (jnp.asarray(D.np_pack(list(challenges), FR)
                       .reshape(NLIMB, len(challenges), 1))
           if challenges else jnp.zeros((NLIMB, 0, 1), dtype=D.U32))
     staged = staged or {}
-    return {
+    out = {
         "advice": (staged["advice"] if "advice" in staged
                    else stack(advice_values[0])),
         "instance": (staged["instance"] if "instance" in staged
                      else stack(instance_values[0])),
         "z": stack(z_cols),
         "lookups": stack(lk_cols),
-        "static": stack(st_cols),
         "scalars": {
             "y": _const(y), "beta": _const(beta), "gamma": _const(gamma),
             "theta": _const(theta), "challenges": ch,
@@ -894,3 +908,12 @@ def prepare_h_inputs(pk, advice_values, instance_values, challenges, y, beta,
             "challenges": list(challenges),
         },
     }
+    if mesh is not None:
+        # the mesh path consumes the merged [b0, f0, ...] stack directly
+        st_cols = [c for pair in zip(st_b_cols, st_f_cols) for c in pair]
+        out["static"] = stack(st_cols)
+    else:
+        out["static_b"] = stack(st_b_cols)
+        out["static_f"] = (staged["static_f"] if "static_f" in staged
+                           else stack(st_f_cols))
+    return out

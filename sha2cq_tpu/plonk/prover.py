@@ -325,6 +325,18 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
             column_buffers=col_bufs))
 
     mark("cq_commit_f_m")
+    if staged_h is not None:
+        # the CQ f coeff polys exist BEFORE beta (commit_all converts them);
+        # start their ~half-of-the-static-stack transfer now so it rides
+        # under the permutation/log-derivative phases below (the b half is
+        # produced by those phases and cannot stage early)
+        from .device_eval import stack_columns as _sc
+        for c_idx, per_circuit in enumerate(static_committed):
+            if per_circuit and all("f_coeff" in r for r in per_circuit):
+                staged_h[c_idx]["static_f"] = _sc(
+                    [r["f_coeff"] for r in per_circuit], n)
+        mark("h_stage_f")
+
     # ---- beta, gamma; permutations; products; CQ log derivatives --------
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()

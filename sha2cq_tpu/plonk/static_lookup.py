@@ -530,7 +530,25 @@ def static_lookup_commit_all(args, pk, params, theta, challenges, advice,
         transcript.write_point(r["f_cm"])
         transcript.write_point(r.pop("m_cm"))
         r.pop("f_cm")
+    with profiler.phase("f_coeffs"):
+        # f's lagrange->coeff iNTT runs HERE (before beta) rather than in
+        # the log-derivative phase: the coeff polys are an h-program input,
+        # and converting them now lets the prover start their host->device
+        # transfer ~two native phases earlier (prover.py h staging)
+        from ..native_loader import native_fr_ntt_multi
+        from ..ops.ntt import _host_twiddle_buf
+        f_coeffs = [r["f_buf"].copy() for r in results]
+        omega_inv = pow(_omega_for_n(n), P - 2, P)
+        native_fr_ntt_multi(f_coeffs, _host_twiddle_buf(omega_inv, n, P),
+                            n.bit_length() - 1, ninv=inv_mod(n, P))
+        for r, fc in zip(results, f_coeffs):
+            r["f_coeff"] = fc
     return results
+
+
+def _omega_for_n(n: int) -> int:
+    from .static_tables import _omega_for_k
+    return _omega_for_k(n.bit_length() - 1)
 
 
 def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
@@ -619,10 +637,13 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
         b_bufs = [np.concatenate([cc[i * usable_rows:(i + 1) * usable_rows],
                                   tail])
                   for i in range(len(committed_list))]
-        f_bufs = [c["f_buf"] for c in committed_list]  # in-place -> coeffs
-        native_fr_ntt_multi(b_bufs + f_bufs, tw_inv, domain.k, ninv=n_inv)
+        # f coeffs were produced in the commit phase (so their device
+        # transfer could start early); NTT only the beta-dependent b side
+        late_f = [c["f_buf"] for c in committed_list
+                  if "f_coeff" not in c]     # fallback: convert in place
+        native_fr_ntt_multi(b_bufs + late_f, tw_inv, domain.k, ninv=n_inv)
         b_polys = b_bufs
-        f_polys = f_bufs
+        f_polys = [c.get("f_coeff", c["f_buf"]) for c in committed_list]
 
     # ---- every commitment MSM of the phase in ONE native call
     with profiler.phase("cq_msms"):

@@ -635,6 +635,19 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                     with open(path + ".tmp", "wb") as f:
                         pickle.dump(serialize(exe), f, protocol=4)
                     _os2.replace(path + ".tmp", path)
+                    # every source edit/platform bump makes a fresh ~58 MB
+                    # blob under a new key: keep the 12 newest, drop the rest
+                    try:
+                        d = _os2.path.dirname(path)
+                        blobs = sorted(
+                            (f for f in _os2.listdir(d)
+                             if f.startswith("h_all-") and f.endswith(".pkl")),
+                            key=lambda f: _os2.path.getmtime(
+                                _os2.path.join(d, f)), reverse=True)
+                        for old in blobs[12:]:
+                            _os2.remove(_os2.path.join(d, old))
+                    except Exception:
+                        pass
         except Exception as e:  # AOT is an optimization only
             print(f"[h_all aot] disabled: {e!r:.120}", flush=True)
             aot_memo["failed"] = True

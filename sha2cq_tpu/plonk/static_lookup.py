@@ -437,6 +437,11 @@ def _opening_basis_from_window(window, n, tag):
 # for every B/f lagrange_to_coeff, and ONE g1_msm_multi over all sparse and
 # dense commitment MSMs (VERDICT r3 item 1).
 
+# native batched CQ phases engage at this circuit size (tests lower it
+# to cover the batched/staged path at toy sizes)
+BATCH_MIN_N = 1024
+
+
 def static_lookup_commit_all(args, pk, params, theta, challenges, advice,
                              fixed, instance, transcript, rng=None,
                              column_commitments: Optional[dict] = None,
@@ -448,7 +453,7 @@ def static_lookup_commit_all(args, pk, params, theta, challenges, advice,
     if not args:
         return []
     zk = getattr(pk.vk.cs, "zk_static_lookups", False)
-    if zk or get_lib() is None or params.n < 1024:
+    if zk or get_lib() is None or params.n < BATCH_MIN_N:
         # zk draws rng per argument interleaved with commits; keep the
         # audited per-argument path for it (and for tiny/no-native runs)
         return [static_lookup_commit(
@@ -561,7 +566,7 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
     if not committed_list:
         return []
     zk = getattr(pk.vk.cs, "zk_static_lookups", False)
-    if zk or get_lib() is None or params.n < 1024:
+    if zk or get_lib() is None or params.n < BATCH_MIN_N:
         return [static_lookup_commit_log_derivatives(
                     c, pk, params, domain, beta, theta, transcript)
                 for c in committed_list]

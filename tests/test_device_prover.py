@@ -150,3 +150,27 @@ def test_prewarm_prover_idempotent_and_usable():
     proof_dev = _cp(params, pk, [circuit], [[]], rng=random.Random(5),
                     h_device=True, h_mxu=True)
     assert proof_dev == proof_host
+
+
+def test_staged_f_coeff_path_matches_host(monkeypatch):
+    """The batched CQ commit phase converts f to coefficients early so the
+    prover can stage its device transfer before beta (prover.py h staging).
+    Force the batched path at toy size and pin device-path bytes == host."""
+    from sha2cq_tpu.plonk import static_lookup as SL
+
+    monkeypatch.setattr(SL, "BATCH_MIN_N", 8)
+    K = 3
+    rng, srs, t1, t2, params, configs, b0 = E._setup(K)
+    circuit = E.MyCircuit(t1, t2)
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, configs, b0, vk, circuit)
+
+    proof_host = create_proof(params, pk, [circuit], [[]],
+                              rng=random.Random(9))
+    proof_dev = create_proof(params, pk, [circuit], [[]],
+                             rng=random.Random(9), h_device=True, h_mxu=True)
+    assert proof_dev == proof_host
+    batcher = verify_proof(params, vk,
+                           AccumulatorStrategy(params, rng=random.Random(9)),
+                           [[]], Blake2bRead(proof_dev))
+    assert batcher.check()

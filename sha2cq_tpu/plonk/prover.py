@@ -276,23 +276,33 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
     mark("witness_and_advice_commit")
     challenges_list = [challenges[i] for i in range(cs.num_challenges)]
 
-    # Stage the advice/instance device stacks NOW: jnp.asarray transfers are
-    # asynchronous, so the ~26 MB of witness limbs ships through the tunnel
-    # while the native CQ/permutation phases below run.  (z/lookup/CQ
+    # Stage the advice/instance device stacks NOW, on a thread: the native
+    # pack + transfer (~26 MB at k=13, ~210 MB at k=16) releases the GIL and
+    # rides under the native CQ/permutation phases below.  (z/lookup/CQ-b
     # columns can't stage early — they are produced by those phases.)
     staged_h = None
+    stage_thread = None
     if h_device and mesh is None:
+        import threading as _threading
+
         from .device_eval import stack_columns
-        staged_h = []
-        for c_idx in range(len(circuits)):
-            adv_c = [b if b is not None else v
-                     for b, v in zip(advice_singles[c_idx]["bufs"],
-                                     advice_singles[c_idx]["values"])]
-            staged_h.append({
-                "advice": stack_columns(adv_c, n),
-                "instance": stack_columns(
-                    instance_singles[c_idx]["values"], n),
-            })
+        staged_h = [dict() for _ in circuits]
+
+        def _stage():
+            try:
+                for c_idx in range(len(circuits)):
+                    adv_c = [b if b is not None else v
+                             for b, v in zip(advice_singles[c_idx]["bufs"],
+                                             advice_singles[c_idx]["values"])]
+                    staged_h[c_idx]["advice"] = stack_columns(adv_c, n)
+                    staged_h[c_idx]["instance"] = stack_columns(
+                        instance_singles[c_idx]["values"], n)
+            except Exception as e:  # staging is an optimization only
+                print(f"[h stage] failed (h pack will rebuild): {e!r:.120}",
+                      flush=True)
+
+        stage_thread = _threading.Thread(target=_stage, daemon=True)
+        stage_thread.start()
         mark("h_stage_advice")
 
     # ---- theta; lookups + CQ commit ------------------------------------
@@ -383,6 +393,8 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
         use_mxu = h_mxu if mesh is None else False
 
         with profiler.phase("h_fn_build"):
+            if stage_thread is not None:
+                stage_thread.join()
             if h_prefetch is not None:
                 h_prefetch.join()
             h_fn = get_h_fn(pk, use_mxu=use_mxu)

@@ -397,9 +397,8 @@ def _packed_basis_disk(points):
     if get_lib() is None:
         return None
     n = len(points)
-    key = hashlib.sha256(
-        repr((n, points[0], points[n // 2], points[-1])).encode()
-    ).hexdigest()[:20]
+    sample = [points[(i * (n - 1)) // 15] for i in range(16)]
+    key = hashlib.sha256(repr((n, sample)).encode()).hexdigest()[:20]
     cache_dir = os.path.expanduser(
         os.environ.get("SHA2CQ_CACHE", "~/.cache/sha2cq_jax"))
     path = os.path.join(cache_dir, f"packedbasis_{key}.bin")

@@ -335,16 +335,29 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
             column_buffers=col_bufs))
 
     mark("cq_commit_f_m")
+    stage_f_thread = None
     if staged_h is not None:
         # the CQ f coeff polys exist BEFORE beta (commit_all converts them);
-        # start their ~half-of-the-static-stack transfer now so it rides
-        # under the permutation/log-derivative phases below (the b half is
-        # produced by those phases and cannot stage early)
+        # start their ~half-of-the-static-stack transfer now — on a thread
+        # (4.4 s of packing at k=17) — so it rides under the permutation/
+        # log-derivative phases below (the b half is produced by those
+        # phases and cannot stage early)
         from .device_eval import stack_columns as _sc
-        for c_idx, per_circuit in enumerate(static_committed):
-            if per_circuit and all("f_coeff" in r for r in per_circuit):
-                staged_h[c_idx]["static_f"] = _sc(
-                    [r["f_coeff"] for r in per_circuit], n)
+
+        def _stage_f():
+            try:
+                for c_idx, per_circuit in enumerate(static_committed):
+                    if per_circuit and all("f_coeff" in r
+                                           for r in per_circuit):
+                        staged_h[c_idx]["static_f"] = _sc(
+                            [r["f_coeff"] for r in per_circuit], n)
+            except Exception as e:  # staging is an optimization only
+                print(f"[h stage f] failed (h pack will rebuild): "
+                      f"{e!r:.120}", flush=True)
+
+        import threading as _threading2
+        stage_f_thread = _threading2.Thread(target=_stage_f, daemon=True)
+        stage_f_thread.start()
         mark("h_stage_f")
 
     # ---- beta, gamma; permutations; products; CQ log derivatives --------
@@ -395,6 +408,8 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
         with profiler.phase("h_fn_build"):
             if stage_thread is not None:
                 stage_thread.join()
+            if stage_f_thread is not None:
+                stage_f_thread.join()
             if h_prefetch is not None:
                 h_prefetch.join()
             h_fn = get_h_fn(pk, use_mxu=use_mxu)

@@ -394,10 +394,57 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
     # would become a per-instruction cross-device gather under GSPMD).
     import os as _os
     use_vm = _os.environ.get("SHA2CQ_H_VM", "1") == "1"
+    # ---- coset-streamed h (the k>=18 single-chip path) --------------------
+    # The extended-coset evaluation decomposes EXACTLY into rs = ext/n
+    # rotation-closed n-cosets: ext index j = rs*i + t evaluates P at
+    # (ZETA*w_ext^t) * w_n^i, i.e. an n-NTT of the coeffs twisted by
+    # (ZETA*w_ext^t)^d — and every h-fold rotation rolls by multiples of
+    # rs, so it never crosses cosets.  Streaming the VM per coset caps the
+    # resident column state at 1/rs of the monolithic ext stacks (which
+    # exceed HBM at k=18: ext = 2^21, measured OOM), at the cost of
+    # converting fixed/sigma from coeffs per prove instead of using the
+    # precomputed ext cosets.  Auto-on at ext >= 2^21; SHA2CQ_H_COSETS=1/0
+    # forces.
+    rs_cosets = size // domain.n
+    _cosets_env = _os.environ.get("SHA2CQ_H_COSETS", "auto")
+    use_cosets = (use_mxu and use_vm and rs_cosets > 1 and
+                  (_cosets_env == "1" or
+                   (_cosets_env == "auto" and size >= (1 << 21))))
     vm_prog = None
+    vm_prog_coset = None
     if use_vm:
         from . import h_vm as _h_vm
         vm_prog = _h_vm.assemble_h_program(pk)
+        if use_cosets:
+            vm_prog_coset = _h_vm.assemble_h_program(pk, rot_scale=1)
+            assert vm_prog_coset.const_scalars == vm_prog.const_scalars
+    if use_cosets:
+        with _prof.phase("coset_consts"):
+            plan_nf, res_nf = MX.get_plan(domain.n, domain.omega, "Fr")
+            plans["n_fwd"] = plan_nf
+            res_omegas["n_fwd"] = res_nf
+            tw = []
+            for t in range(rs_cosets):
+                base = H.FR_ZETA * pow(domain.extended_omega, t, P) % P
+                tw.append(D.np_pack(NTT.powers_host(base, domain.n, P), FR))
+            consts["coset_twist"] = jnp.asarray(np.stack(tw, 0))
+
+            def np_stack_coeff(cols):
+                if not cols:
+                    return jnp.zeros((NLIMB, 0, domain.n), dtype=jnp.uint16)
+                if all(isinstance(c, np.ndarray) for c in cols):
+                    packed = D.np_pack_buf(np.concatenate(cols), FR)
+                else:
+                    from ..poly.arith import as_coeff_list
+                    packed = D.np_pack(
+                        [v for c in (as_coeff_list(c) for c in cols)
+                         for v in c], FR)
+                return jnp.asarray(
+                    packed.reshape(NLIMB, len(cols), domain.n)
+                    .astype(np.uint16))
+
+            consts["fixed_coeff"] = np_stack_coeff(pk.fixed_polys)
+            consts["sigma_coeff"] = np_stack_coeff(pk.permutation.polys)
     chunk_jits: List = []  # built lazily (only the fallback path pays tracing)
 
     def ensure_chunk_jits():
@@ -551,7 +598,77 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
         # ~50 MB device->host fetch for the x-eval polynomials
         return h_out, coeff[:, :Ca]    # already u16 (canonical limbs)
 
+    def h_coset_fn(adv, inst, zc, lkc, st_b, st_f, scal, instrs, cn, pls,
+                   dims):
+        """Coset-streamed variant of h_all_fn (see use_cosets above): ONE
+        executable that lax.maps the convert+VM over the rs rotation-closed
+        cosets, holding 1/rs of the ext column state at a time.  Values are
+        bit-identical (canonical forms are unique; the coset NTTs compute
+        the same field elements the monolithic ext NTT does)."""
+        (Ca, Ci, Cz, Cl, res_l2c, res_nf, res_e2c, n_reg, out_reg) = dims[:9]
+        from . import h_vm as _h_vm
+        from ..ops import mxu_ntt as MXX
+
+        nn = domain.n
+
+        def pick_chunk(x):
+            return max(8, min(64, (1 << 20) // x))
+
+        lag16 = jnp.concatenate([adv, inst, zc, lkc], axis=1)
+        coeff = MXX.mxu_ntt_batch_mapped(
+            lag16, pls["l2c"], res_l2c, FR, chunk=pick_chunk(nn),
+            scale=cn["ifft_div"], out_dtype=jnp.uint16)
+        Q = st_b.shape[1]
+        st = jnp.stack([st_b, st_f], axis=2).reshape(NLIMB, 2 * Q, nn)
+
+        def pad1(a):
+            return a if a.shape[1] else jnp.zeros((NLIMB, 1, nn),
+                                                  dtype=jnp.uint16)
+
+        o1, o2, o3 = Ca, Ca + Ci, Ca + Ci + Cz
+        o4 = o3 + Cl
+        # ext vectors viewed as (16, n, rs): ext index j = rs*i + t
+        aux_r = jnp.stack(
+            [cn["l0"], cn["l_last"], cn["l_active"],
+             cn["zeta_times_coset"]],
+            axis=1).reshape(NLIMB, 4, nn, rs_cosets)
+
+        def per_coset(t):
+            twist = cn["coset_twist"][t]
+
+            def conv(x16):
+                return MXX.mxu_ntt_batch_mapped(
+                    x16, pls["n_fwd"], res_nf, FR, chunk=pick_chunk(nn),
+                    pre_mult=twist, out_dtype=jnp.uint16)
+
+            groups = {
+                "advice": conv(pad1(coeff[:, :Ca])),
+                "instance": conv(pad1(coeff[:, o1:o2])),
+                "fixed": conv(pad1(cn["fixed_coeff"])),
+                "sigma": conv(pad1(cn["sigma_coeff"])),
+                "z": conv(pad1(coeff[:, o2:o3])),
+                "lk": conv(pad1(coeff[:, o3:o4])),
+                "st": conv(pad1(st)),
+                "aux": aux_r[:, :, :, t],
+            }
+            regs0 = jnp.zeros((NLIMB, n_reg, nn), dtype=D.U32)
+            regs = _h_vm._vm_scan(instrs, regs0, groups, scal)
+            return regs[:, out_reg]
+
+        values8 = jax.lax.map(per_coset, jnp.arange(rs_cosets))
+        # ext index j = rs*i + t  ->  (16, n, rs) flattened i-major
+        values = jnp.transpose(values8, (1, 2, 0)).reshape(NLIMB, size)
+
+        v = D.mont_mul(values, cn["vanishing_inv"], FR)
+        q = MXX.mxu_ntt_batch_mapped(
+            v[:, None, :], pls["e2c"], res_e2c, FR,
+            scale=cn["ext_ifft_div"])[:, 0]
+        q = D.mont_mul(q, cn["zeta_bwd"], FR)
+        h_out = q[:, : domain.n * domain.quotient_poly_degree]
+        return h_out, coeff[:, :Ca]
+
     h_all_jit = jax.jit(h_all_fn, static_argnums=(10,))
+    h_coset_jit = jax.jit(h_coset_fn, static_argnums=(10,))
     import os as _os2
     use_oneprog = (use_mxu and vm_prog is not None and
                    _os2.environ.get("SHA2CQ_H_ONEPROG", "1") == "1")
@@ -589,7 +706,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                   + str(getattr(backend, "platform_version", ""))).encode())
         return h.hexdigest()[:24]
 
-    def _aot_executable(args):
+    def _aot_executable(args, jit_fn=None):
         """Process-spanning compiled-executable cache for the fused h
         program.  The jax persistent cache never hits across processes on
         the axon backend (each session's compile key differs even though
@@ -629,7 +746,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                     exe = deserialize_and_load(blob, in_tree, out_tree)
             else:
                 with _prof.phase("aot_compile"):
-                    exe = h_all_jit.lower(*args).compile()
+                    exe = (jit_fn or h_all_jit).lower(*args).compile()
                 if path:
                     _os2.makedirs(_os2.path.dirname(path), exist_ok=True)
                     with open(path + ".tmp", "wb") as f:
@@ -663,17 +780,23 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
             [raw["y"], raw["beta"], raw["gamma"], raw["theta"]]
             + list(raw["challenges"]) + list(vm_prog.const_scalars), FR)
         with profiler.phase("h_oneprog"):
+            use_c = use_cosets and vm_prog_coset is not None
+            prog = vm_prog_coset if use_c else vm_prog
+            jit_fn = h_coset_jit if use_c else h_all_jit
             dims = (inputs["advice"].shape[1], inputs["instance"].shape[1],
                     inputs["z"].shape[1], inputs["lookups"].shape[1],
-                    res_omegas["l2c"], res_omegas["c2e"], res_omegas["e2c"],
-                    vm_prog.n_reg, vm_prog.out_reg)
+                    res_omegas["l2c"],
+                    res_omegas["n_fwd"] if use_c else res_omegas["c2e"],
+                    res_omegas["e2c"], prog.n_reg, prog.out_reg)
+            if use_c:
+                dims = dims + ("coset",)
             cn = dict(consts)
             cn["ifft_div"] = ifft_div
             cn["ext_ifft_div"] = ext_ifft_div
             args = (inputs["advice"], inputs["instance"], inputs["z"],
                     inputs["lookups"], inputs["static_b"],
                     inputs["static_f"], jnp.asarray(scal_np),
-                    jnp.asarray(vm_prog.instrs), cn, plans, dims)
+                    jnp.asarray(prog.instrs), cn, plans, dims)
             if _os2.environ.get("SHA2CQ_H_LOWER_DEBUG"):
                 # persistent-cache-key diagnosis: hash the lowered module and
                 # jax's own cache key; any run-to-run difference here is a
@@ -703,7 +826,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                     # diagnosis mode: stop before the (minutes-long cold)
                     # compile so two processes' keys can be compared cheaply
                     raise RuntimeError("SHA2CQ_H_LOWER_ONLY")
-            exe = _aot_executable(args)
+            exe = _aot_executable(args, jit_fn)
             with profiler.phase("dispatch"):
                 if exe is not None:
                     try:
@@ -714,9 +837,9 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                               f"{e!r:.120}", flush=True)
                         aot_memo.clear()
                         aot_memo["failed"] = True
-                        h_dev, adv_coeff = h_all_jit(*args)
+                        h_dev, adv_coeff = jit_fn(*args)
                 else:
-                    h_dev, adv_coeff = h_all_jit(*args)
+                    h_dev, adv_coeff = jit_fn(*args)
                 jax.block_until_ready(h_dev)
         return h_dev, adv_coeff
 
@@ -789,15 +912,21 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
 
         n_scal = 4 + cs.num_challenges + len(vm_prog.const_scalars)
         scal = jnp.asarray(D.np_pack([0] * n_scal, FR))
-        dims = (Ca, Ci, Cz, Cl, res_omegas["l2c"], res_omegas["c2e"],
-                res_omegas["e2c"], vm_prog.n_reg, vm_prog.out_reg)
+        use_c = use_cosets and vm_prog_coset is not None
+        prog = vm_prog_coset if use_c else vm_prog
+        jit_fn = h_coset_jit if use_c else h_all_jit
+        dims = (Ca, Ci, Cz, Cl, res_omegas["l2c"],
+                res_omegas["n_fwd"] if use_c else res_omegas["c2e"],
+                res_omegas["e2c"], prog.n_reg, prog.out_reg)
+        if use_c:
+            dims = dims + ("coset",)
         cn = dict(consts)
         cn["ifft_div"] = ifft_div
         cn["ext_ifft_div"] = ext_ifft_div
         nq = Cst // 2
         args = (z16(Ca), z16(Ci), z16(Cz), z16(Cl), z16(nq), z16(nq), scal,
-                jnp.asarray(vm_prog.instrs), cn, plans, dims)
-        exe = _aot_executable(args)
+                jnp.asarray(prog.instrs), cn, plans, dims)
+        exe = _aot_executable(args, jit_fn)
         if (exe is not None and not aot_memo.get(("preloaded", id(exe)))
                 and _os2.environ.get("SHA2CQ_H_PRELOAD", "1") == "1"):
             aot_memo[("preloaded", id(exe))] = True

@@ -200,14 +200,21 @@ def program_y_fold_count(pk) -> int:
     return t
 
 
-def assemble_h_program(pk) -> Program:
+def assemble_h_program(pk, rot_scale: "int | None" = None) -> Program:
     """Compile pk's constraint system into a VM program.  Term order matches
     plonk/device_eval.build_h_fn exactly (gates, permutation head/boundaries/
     sets, dynamic lookups, CQ static lookups — the host evaluate_h order), so
-    resulting h values — and proofs — are identical."""
+    resulting h values — and proofs — are identical.
+
+    rot_scale: roll step per base-domain rotation.  Default = ext/n (the
+    program runs over the full extended coset).  The coset-streamed h path
+    (device_eval, SHA2CQ_H_COSETS) passes 1: each of the ext/n cosets is a
+    rotation-closed n-row slice, so base rotations roll by exactly one row
+    within it."""
     cs = pk.vk.cs
     domain = pk.vk.domain
-    rot_scale = 1 << (domain.extended_k - domain.k)
+    if rot_scale is None:
+        rot_scale = 1 << (domain.extended_k - domain.k)
     n_runtime = 4 + cs.num_challenges
     A = _Asm(n_runtime)
     Y, BETA, GAMMA, THETA = ("s", 0), ("s", 1), ("s", 2), ("s", 3)

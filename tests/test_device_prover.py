@@ -174,3 +174,26 @@ def test_staged_f_coeff_path_matches_host(monkeypatch):
                            AccumulatorStrategy(params, rng=random.Random(9)),
                            [[]], Blake2bRead(proof_dev))
     assert batcher.check()
+
+
+def test_h_coset_streamed_matches_host(monkeypatch):
+    """The coset-streamed h path (SHA2CQ_H_COSETS=1: per-coset n-NTTs +
+    rotation-closed VM slices, the k>=18 single-chip memory fix) must be
+    byte-identical to the host evaluator."""
+    monkeypatch.setenv("SHA2CQ_H_COSETS", "1")
+    K = 3
+    rng, srs, t1, t2, params, configs, b0 = E._setup(K)
+    circuit = E.MyCircuit(t1, t2)
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, configs, b0, vk, circuit)
+
+    proof_host = create_proof(params, pk, [circuit], [[]],
+                              rng=random.Random(13))
+    proof_coset = create_proof(params, pk, [circuit], [[]],
+                               rng=random.Random(13), h_device=True,
+                               h_mxu=True)
+    assert proof_coset == proof_host
+    batcher = verify_proof(params, vk,
+                           AccumulatorStrategy(params, rng=random.Random(13)),
+                           [[]], Blake2bRead(proof_coset))
+    assert batcher.check()

@@ -401,15 +401,19 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
     # (ZETA*w_ext^t)^d — and every h-fold rotation rolls by multiples of
     # rs, so it never crosses cosets.  Streaming the VM per coset caps the
     # resident column state at 1/rs of the monolithic ext stacks (which
-    # exceed HBM at k=18: ext = 2^21, measured OOM), at the cost of
-    # converting fixed/sigma from coeffs per prove instead of using the
-    # precomputed ext cosets.  Auto-on at ext >= 2^21; SHA2CQ_H_COSETS=1/0
-    # forces.
+    # exceed HBM at the SHA circuit's k=18: ext = 2^19 x ~200 columns,
+    # measured 17.27 GB vs the 15.75 GB budget), at the cost of converting
+    # fixed/sigma from coeffs per prove instead of using the precomputed
+    # ext cosets.  Auto-on at ext >= 2^19 (k=17/ext=2^18 fits
+    # monolithically); SHA2CQ_H_COSETS=1/0 forces.
     rs_cosets = size // domain.n
     _cosets_env = _os.environ.get("SHA2CQ_H_COSETS", "auto")
     use_cosets = (use_mxu and use_vm and rs_cosets > 1 and
                   (_cosets_env == "1" or
-                   (_cosets_env == "auto" and size >= (1 << 21))))
+                   (_cosets_env == "auto" and size >= (1 << 19))))
+    if use_cosets:
+        print(f"[h] coset-streamed path on (ext=2^{size.bit_length() - 1}, "
+              f"rs={rs_cosets})", flush=True)
     vm_prog = None
     vm_prog_coset = None
     if use_vm:
@@ -611,8 +615,11 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
 
         nn = domain.n
 
+        # tighter chunk floor than h_all_fn: the k=18 coset program measured
+        # 381 MB over HBM with chunk=8 (the ~33 mont_mul deferred-carry
+        # temps are 16*chunk*n*4 B each)
         def pick_chunk(x):
-            return max(8, min(64, (1 << 20) // x))
+            return max(4, min(64, (1 << 19) // x))
 
         lag16 = jnp.concatenate([adv, inst, zc, lkc], axis=1)
         coeff = MXX.mxu_ntt_batch_mapped(

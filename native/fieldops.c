@@ -610,6 +610,101 @@ void g1_msm_multi(const u64 **bases, const long **indices,
     }
 }
 
+/* Batch-normalize Jacobian points to z = 1 (Montgomery trick), compacting
+ * out identity sums together with their scalars.  Returns the compacted
+ * count; scalars are copied into sc_out so the caller's buffer stays
+ * const.  One fq_inv for the whole batch + ~6 muls/point. */
+static long pt_batch_to_affine_compact(pt *p, const u64 *sc_in, u64 *sc_out,
+                                       long n) {
+    long m = 0;
+    for (long i = 0; i < n; i++) {
+        if (pt_is_identity(&p[i]))
+            continue;
+        if (m != i) p[m] = p[i];
+        memcpy(sc_out + 4 * m, sc_in + 4 * i, 4 * sizeof(u64));
+        m++;
+    }
+    if (m == 0)
+        return 0;
+    fq *pref = (fq *)__builtin_malloc(sizeof(fq) * (size_t)m);
+    fq run;
+    memcpy(run.v, RMODQ, sizeof RMODQ); /* 1 in Montgomery form */
+    for (long i = 0; i < m; i++) {
+        pref[i] = run;
+        fq_mul(&run, &run, &p[i].z);
+    }
+    fq inv;
+    fq_inv(&inv, &run);
+    for (long i = m - 1; i >= 0; i--) {
+        fq zi, zi2, zi3;
+        fq_mul(&zi, &inv, &pref[i]);       /* 1/z_i */
+        fq_mul(&inv, &inv, &p[i].z);       /* 1/prod_{j<i} z_j */
+        fq_mul(&zi2, &zi, &zi);
+        fq_mul(&zi3, &zi2, &zi);
+        fq_mul(&p[i].x, &p[i].x, &zi2);
+        fq_mul(&p[i].y, &p[i].y, &zi3);
+        memcpy(p[i].z.v, RMODQ, sizeof RMODQ);
+    }
+    __builtin_free(pref);
+    return m;
+}
+
+/* Grouped sparse MSM, K jobs in one call:
+ *   out_j = sum_g scalars[j][g] * (sum_{i in [starts[j][g], starts[j][g+1])}
+ *                                   bases[j][rows[j][i]])
+ * The CQ b0/p commitments' scalars depend only on the table row each
+ * support row looks up (equal witness value => equal 1/(f+beta)), so
+ * grouping the opening-basis points by table row first (one mixed add per
+ * row) shrinks the Pippenger size from |support| to |distinct values|.
+ * The reference commits the dense coefficient form instead
+ * (static_lookup/prover.rs:259-343); sparse+grouped is this repo's
+ * redesign of the same commitments. */
+void g1_msm_grouped_multi(const u64 **bases, const long **rows,
+                          const long **starts, const long *ngroups,
+                          const u64 **scalars, long k, u64 *out) {
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(dynamic, 1)
+    #endif
+    for (long j = 0; j < k; j++) {
+        long ng = ngroups[j];
+        if (ng <= 0) {
+            pt id;
+            pt_set_identity(&id);
+            store_pt(out + 12 * j, &id);
+            continue;
+        }
+        pt *grp = (pt *)__builtin_malloc(sizeof(pt) * (size_t)ng);
+        u64 *sc = (u64 *)__builtin_malloc(sizeof(u64) * 4 * (size_t)ng);
+        const u64 *base = bases[j];
+        const long *rw = rows[j];
+        const long *st = starts[j];
+        for (long g = 0; g < ng; g++) {
+            pt acc;
+            pt_set_identity(&acc);
+            for (long i = st[g]; i < st[g + 1]; i++) {
+                const u64 *q = base + 12 * rw[i];
+                fq x = {{q[0], q[1], q[2], q[3]}};
+                fq y = {{q[4], q[5], q[6], q[7]}};
+                fq mx, my;
+                fq_to_mont(&mx, &x);
+                fq_to_mont(&my, &y);
+                pt_add_mixed(&acc, &acc, &mx, &my);
+            }
+            grp[g] = acc;
+        }
+        long m = pt_batch_to_affine_compact(grp, scalars[j], sc, ng);
+        if (m == 0) {
+            pt id;
+            pt_set_identity(&id);
+            store_pt(out + 12 * j, &id);
+        } else {
+            g1_msm_core(grp, sc, m, out + 12 * j);
+        }
+        __builtin_free(sc);
+        __builtin_free(grp);
+    }
+}
+
 /* 4-bit fixed-window scalar mul on Montgomery-form points (internal). */
 static void pt_scalar_mul_glv(pt *out, const pt *base, const u64 *scalar);
 

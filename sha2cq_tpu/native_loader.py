@@ -83,6 +83,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.g1_msm_multi.argtypes = [ctypes.POINTER(U64P), ctypes.POINTER(LP),
                                      ctypes.POINTER(U64P), LP,
                                      ctypes.c_long, U64P]
+        lib.g1_msm_grouped_multi.argtypes = [ctypes.POINTER(U64P),
+                                             ctypes.POINTER(LP),
+                                             ctypes.POINTER(LP), LP,
+                                             ctypes.POINTER(U64P),
+                                             ctypes.c_long, U64P]
         lib.fr_ntt_multi.argtypes = [ctypes.POINTER(U64P), U64P,
                                      ctypes.c_long, ctypes.c_int,
                                      ctypes.c_long, U64P]
@@ -226,6 +231,43 @@ def native_msm_multi(jobs) -> Optional[List[tuple]]:
             sizes[j] = len(scalars)
     out = (ctypes.c_uint64 * (12 * k))()
     lib.g1_msm_multi(bases, idxs, scal, sizes, ctypes.c_long(k), out)
+    return [_unpack_jac(out, j) for j in range(k)]
+
+
+def native_msm_grouped_multi(jobs) -> Optional[List[tuple]]:
+    """K grouped sparse MSMs in ONE native call (g1_msm_grouped_multi,
+    OpenMP across jobs).  jobs: list of (packed_basis, rows, starts,
+    scalars) — rows/starts contiguous int64 arrays (CSR: rows sorted by
+    group, starts of length ngroups+1), scalars a (ngroups, 4) u64 limb
+    buffer.  Returns Jacobian tuples, or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None or any(j[0] is None for j in jobs):
+        return None
+    k = len(jobs)
+    if k == 0:
+        return []
+    import numpy as np
+    U64P = ctypes.POINTER(ctypes.c_uint64)
+    LP = ctypes.POINTER(ctypes.c_long)
+    bases = (U64P * k)()
+    rows = (LP * k)()
+    starts = (LP * k)()
+    ngroups = (ctypes.c_long * k)()
+    scal = (U64P * k)()
+    keep = []
+    for j, (packed, rw, st, sc) in enumerate(jobs):
+        bases[j] = ctypes.cast(packed, U64P)
+        ra = np.ascontiguousarray(rw, dtype=np.int64)
+        sa = np.ascontiguousarray(st, dtype=np.int64)
+        sb = np.ascontiguousarray(sc)
+        keep.extend((ra, sa, sb))
+        rows[j] = ctypes.cast(ra.ctypes.data_as(LP), LP)
+        starts[j] = ctypes.cast(sa.ctypes.data_as(LP), LP)
+        ngroups[j] = sa.shape[0] - 1
+        scal[j] = _u64p(sb)
+    out = (ctypes.c_uint64 * (12 * k))()
+    lib.g1_msm_grouped_multi(bases, rows, starts, ngroups, scal,
+                             ctypes.c_long(k), out)
     return [_unpack_jac(out, j) for j in range(k)]
 
 

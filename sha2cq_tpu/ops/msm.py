@@ -456,6 +456,19 @@ def msm_multi(jobs) -> list:
     return out
 
 
+def msm_grouped_multi(jobs) -> list:
+    """Many grouped sparse MSMs in ONE native call: per job
+    (packed_basis, rows, starts, scalars) computes
+    sum_g scalars[g] * (sum_{i in rows[starts[g]:starts[g+1]]} basis[rows[i]]).
+    Native-only — callers gate on get_lib(); group sums are one mixed add
+    per row, then Pippenger over the (much smaller) per-group sums."""
+    from ..native_loader import native_msm_grouped_multi
+    res = native_msm_grouped_multi(jobs)
+    if res is None:
+        raise RuntimeError("msm_grouped_multi requires the native library")
+    return [CH.jac_to_affine(jac) for jac in res]
+
+
 def msm_indexed(scalars: Sequence[int], indices: Sequence[int], points,
                 packed=None) -> CH.G1Affine:
     """sum_i scalars[i] * points[indices[i]]; native indexed kernel over a

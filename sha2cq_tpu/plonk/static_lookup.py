@@ -441,6 +441,12 @@ def _opening_basis_from_window(window, n, tag):
 # to cover the batched/staged path at toy sizes)
 BATCH_MIN_N = 1024
 
+# group the sparse b0/p commitments by table row when the distinct-value
+# count is below this fraction of the support (the grouping pass costs one
+# mixed add per support row, the Pippenger it feeds shrinks to |distinct|);
+# tests pin byte-equality by forcing it to 2.0 (always) / 0.0 (never)
+GROUP_MAX_RATIO = 0.9
+
 
 def static_lookup_commit_all(args, pk, params, theta, challenges, advice,
                              fixed, instance, transcript, rng=None,
@@ -523,6 +529,9 @@ def static_lookup_commit_all(args, pk, params, theta, challenges, advice,
             "f_cm": f_cm,
             "idxs": idxs,
             "counts": counts,
+            # per-row table position: the log-derivative phase groups the
+            # sparse b0/p commitments by it (equal value => equal scalar)
+            "row_idx": row_idx,
             "table_ids": arg.table_ids,
             "zk_c": 0,
             "zk_rng": rng,
@@ -599,6 +608,43 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
         beta_tile = np.tile(fr_buf([beta]), (cc_a.shape[0], 1))
         native_fr_fold_buf(cc_a, beta_tile, 1)      # += beta
         native_fr_batch_inv_buf(cc_a)               # 1/(T+beta)
+
+        # Grouped sparse b0/p prep: the per-row scalar (1/(f+beta)-1/beta)/n
+        # depends only on the table row the witness row resolves to, so rows
+        # sharing a value share a scalar.  Group the opening-basis points by
+        # table row (CSR over argsorted row_idx) and run Pippenger over the
+        # |distinct| per-group sums instead of |support| rows — the A side
+        # above already computed 1/(T+beta) per distinct row, reused here.
+        sparse_bases = _b0_sparse_bases(pk, params)
+        grouped: List[Optional[tuple]] = [None] * len(committed_list)
+        if sparse_bases is not None:
+            from ..native_loader import native_fr_scale_buf
+            n_inv_g = inv_mod(n, P)
+            minus_binv_g = fr_buf([(P - beta_inv) % P])
+            for i, c in enumerate(committed_list):
+                ri = c.get("row_idx")
+                if ri is None:
+                    continue
+                m_keep = bufs[i].any(axis=1)   # folded T != 0 <=> f != 0
+                counts = c["counts"]
+                support = int(counts[m_keep].sum())
+                s_dist = int(m_keep.sum())
+                if support and s_dist > GROUP_MAX_RATIO * support:
+                    continue        # few repeated values: row path is tighter
+                order = np.argsort(ri, kind="stable").astype(np.int64)
+                if m_keep.all():
+                    kept = counts
+                else:
+                    order = order[np.repeat(m_keep, counts)]
+                    kept = counts[m_keep]
+                starts = np.zeros(len(kept) + 1, dtype=np.int64)
+                np.cumsum(kept, out=starts[1:])
+                sc = cc_a[split[i]:split[i + 1]][m_keep]   # copies
+                tile = np.tile(minus_binv_g, (sc.shape[0], 1))
+                native_fr_fold_buf(sc, tile, 1)   # B - 1/beta
+                native_fr_scale_buf(sc, n_inv_g)  # * 1/n
+                grouped[i] = (order, starts, sc)
+
         counts_cat = np.zeros((cc_a.shape[0], 4), dtype="<u8")
         counts_cat[:, 0] = np.concatenate(
             [c["counts"] for c in committed_list]) if committed_list else 0
@@ -612,16 +658,17 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
     with profiler.phase("b_side"):
         from ..native_loader import native_fr_batch_inv_buf
         # per-argument support (rows with f != 0) for the sparse b0/p
-        # commitments, read before f_buf is consumed
-        supports = [np.nonzero(
-            c["f_buf"][:usable_rows].any(axis=1))[0] for c in committed_list]
+        # commitments, read before f_buf is consumed; grouped args resolved
+        # their support in the a_vals phase
+        supports = [None if grouped[i] is not None else
+                    np.nonzero(c["f_buf"][:usable_rows].any(axis=1))[0]
+                    for i, c in enumerate(committed_list)]
         cc = np.concatenate([c["f_buf"][:usable_rows] for c in committed_list])
         beta_tile = np.tile(fr_buf([beta]), (cc.shape[0], 1))
         native_fr_fold_buf(cc, beta_tile, 1)          # cc = f + beta
         native_fr_batch_inv_buf(cc)
         # corr_i = (B_i - 1/beta)/n over the support rows (the 1/n that the
         # un-normalized group-iNTT bases fold into the scalars)
-        sparse_bases = _b0_sparse_bases(pk, params)
         corr_per = None
         if sparse_bases is not None:
             from ..native_loader import native_fr_scale_buf
@@ -629,6 +676,9 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
             minus_binv = fr_buf([(P - beta_inv) % P])
             corr_per = []
             for i, sup in enumerate(supports):
+                if sup is None:
+                    corr_per.append(None)
+                    continue
                 rows = cc[i * usable_rows + sup]     # fancy index -> copy
                 tile = np.tile(minus_binv, (rows.shape[0], 1))
                 native_fr_fold_buf(rows, tile, 1)    # B_i - 1/beta
@@ -654,6 +704,8 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
     with profiler.phase("cq_msms"):
         jobs = []
         job_of = []
+        gjobs = []      # grouped sparse b0/p jobs (see a_vals phase)
+        gjob_of = []
         g_packed = M.packed_basis(params, "_g_packed", params.g)
         bound_packed = M.packed_basis(pk, "_b0_bound_packed", pk.b0_g1_bound)
         for i, c in enumerate(committed_list):
@@ -673,7 +725,14 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
                 jobs.append((M.packed_basis(table, "_qs_packed", table.qs),
                              idxs, a_vals, table.qs))
                 job_of.append((i, ("qa", t_i)))
-            if corr_per is not None and len(supports[i]):
+            if grouped[i] is not None:
+                rows_i, starts_i, sc_i = grouped[i]
+                (b0p, _b0pts), (pp, _ppts) = sparse_bases
+                gjobs.append((b0p, rows_i, starts_i, sc_i))
+                gjob_of.append((i, "b0"))
+                gjobs.append((pp, rows_i, starts_i, sc_i))
+                gjob_of.append((i, "p"))
+            elif corr_per is not None and len(supports[i]):
                 sup = supports[i]
                 (b0p, b0pts), (pp, ppts) = sparse_bases
                 jobs.append((b0p, sup, corr_per[i], b0pts))
@@ -688,6 +747,9 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
                              pk.b0_g1_bound[: b0_coeffs.shape[0]]))
                 job_of.append((i, "p"))
         cms = M.msm_multi(jobs)
+        if gjobs:
+            cms = cms + M.msm_grouped_multi(gjobs)
+            job_of = job_of + gjob_of
 
     out: List[dict] = []
     by_arg: List[dict] = [dict() for _ in committed_list]

@@ -228,3 +228,73 @@ def test_sparse_b0_commitment_bases_match_dense(monkeypatch):
                       AccumulatorStrategy(params, rng=random.Random(4)),
                       [[]], Blake2bRead(proof_sparse)).check()
     assert ok
+
+
+def test_grouped_b0_commitments_match_row_sparse_and_dense(monkeypatch):
+    """When witness values repeat, the b0/p commitments group support rows
+    by the table row they resolve to (equal value => equal scalar) and run
+    Pippenger over the per-group point sums; proof bytes must equal both
+    the row-sparse and the dense paths'."""
+    import sha2cq_tpu.ops.msm as M
+    import sha2cq_tpu.plonk.static_lookup as SL
+
+    K, n = 10, 1 << 10
+    rng = random.Random(78)
+    s = rng.randrange(P)
+    N = 2 * n
+    srs = TableSRS.setup_from_toxic_waste(N - 1, N, s)
+    vals = list(range(N))
+    tv = StaticTableValues(vals, srs.g1)
+    table = StaticTable(opened=tv,
+                        committed=tv.commit(len(srs.g1), srs.g2, n))
+    params = ParamsKZG.setup_from_toxic_waste(K, s)
+    configs = {N: StaticTableConfig(N, srs.g1_lagrange,
+                                    srs.g_lagrange_opening_at_0)}
+    b0_bound = srs.g1[N - n + 1:]
+
+    class RepeatCircuit:
+        @classmethod
+        def configure(cls, meta):
+            advice = meta.advice_column()
+            meta.lookup_static("range", lambda cells: [
+                (cells.query_advice(advice, 0), StaticTableId("rt"))])
+            return advice
+
+        def synthesize(self, config, layouter):
+            layouter.register_static_table(StaticTableId("rt"), table)
+
+            def assign(region):
+                for i in range(40):   # 7 distinct values over 40 rows
+                    region.assign_advice(config, i,
+                                         Value.known(3 * (i % 7) + 1))
+            layouter.assign_region("rows", assign)
+
+    circuit = RepeatCircuit()
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, configs, b0_bound, vk, circuit)
+
+    calls = []
+    real_grouped = M.msm_grouped_multi
+    monkeypatch.setattr(M, "msm_grouped_multi",
+                        lambda jobs: calls.append(len(jobs))
+                        or real_grouped(jobs))
+    proof_grouped = create_proof(params, pk, [circuit], [[]],
+                                 rng=random.Random(5))
+    if not calls:
+        import pytest
+        pytest.skip("native library unavailable: grouped path cannot engage")
+    assert calls == [2]    # one b0 + one p job for the single argument
+
+    monkeypatch.setattr(SL, "GROUP_MAX_RATIO", 0.0)   # force row-sparse
+    proof_rows = create_proof(params, pk, [circuit], [[]],
+                              rng=random.Random(5))
+    monkeypatch.setattr(SL, "_b0_sparse_bases", lambda pk_, params_: None)
+    proof_dense = create_proof(params, pk, [circuit], [[]],
+                               rng=random.Random(5))
+    assert proof_grouped == proof_rows, "grouped b0/p != row-sparse bytes"
+    assert proof_grouped == proof_dense, "grouped b0/p != dense bytes"
+
+    ok = verify_proof(params, vk,
+                      AccumulatorStrategy(params, rng=random.Random(6)),
+                      [[]], Blake2bRead(proof_grouped)).check()
+    assert ok

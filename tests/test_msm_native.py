@@ -48,6 +48,41 @@ def test_msm_multi_matches_host_oracle():
     assert empty is None
 
 
+def test_msm_grouped_multi_matches_host_oracle():
+    """g1_msm_grouped_multi: per-group point sums then Pippenger over the
+    group sums must equal the flat per-row MSM with duplicated scalars.
+    Covers duplicate points inside a group (the mixed-add doubling branch),
+    single-row groups, and an empty job."""
+    import numpy as np
+
+    from sha2cq_tpu.native_loader import fr_buf
+
+    rng = random.Random(11)
+    pts = _points(40, seed=5)
+    pts[7] = pts[3]          # duplicate point, same group below
+
+    class Holder:
+        pass
+
+    packed = M.packed_basis(Holder(), "_p", pts)
+    gids = [rng.randrange(6) for _ in range(40)]
+    gids[3] = gids[7] = 2    # equal points in one group -> doubling path
+    gsc = [rng.randrange(FR_MOD) for _ in range(6)]
+    order = np.argsort(np.array(gids), kind="stable").astype(np.int64)
+    counts = np.bincount(np.array(gids), minlength=6)
+    starts = np.zeros(7, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+
+    (res, empty) = M.msm_grouped_multi([
+        (packed, order, starts, fr_buf(gsc)),
+        (packed, np.zeros(0, np.int64), np.zeros(1, np.int64),
+         np.zeros((0, 4), "<u8")),
+    ])
+    expect = _host_msm([gsc[g] for g in gids], pts)
+    assert res == expect
+    assert empty is None
+
+
 def test_packed_basis_disk_cache_roundtrip(tmp_path, monkeypatch):
     """Second process (simulated: fresh holder object) must read the packed
     bytes back from disk identically to a fresh marshal."""

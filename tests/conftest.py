@@ -45,3 +45,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# The env scrub above is not enough when the axon plugin registered at
+# interpreter start: it pins the jax_platforms CONFIG to "axon,cpu", which
+# wins over the env var — and then a single mid-suite jax.devices() call
+# can flip to the 1-chip tunnel backend once it becomes reachable
+# (observed: test_sharded_h_vm_2d_mesh seeing 1 device after 39 green
+# tests).  Pin the config itself.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass

@@ -221,6 +221,40 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         extra["sha256_error"] = repr(e)[:160]
 
+    # fallback tier (VERDICT r4 #2): when the multi-hour 32-bit table cache
+    # is absent (or the flagship leg failed), prove+verify the 8-bit SHA
+    # scheme instead — its ~35 s setup builds anywhere, so the bench can
+    # never again emit only "sha256_skipped" with zero e2e SHA evidence.
+    if "sha256_prove_s" not in extra:
+        try:
+            budget = int(WATCHDOG_S - (time.perf_counter() - _t_start) - 60)
+            if budget < 120:
+                extra["sha256_8bit_skipped"] = (
+                    f"insufficient watchdog budget left ({budget}s)")
+            else:
+                env = dict(os.environ)
+                env.setdefault("SHA2CQ_H_DEVICE", "0")  # host h: no tunnel risk
+                r = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "benchmarks", "sha_bench.py"), "test"],
+                    env=env, timeout=budget, capture_output=True, text=True)
+                line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+                stats = json.loads(line) if line.startswith("{") else {}
+                if r.returncode == 0 and stats.get("prove_s") is not None:
+                    extra["sha256_8bit_prove_s"] = stats["prove_s"]
+                    extra["sha256_8bit_verify_s"] = stats["verify_s"]
+                    extra["sha256_8bit_setup_s"] = stats["setup_s"]
+                    extra["sha256_8bit_proof_bytes"] = stats["proof_bytes"]
+                    extra["sha256_8bit_verified"] = True  # bench asserts
+                else:
+                    extra["sha256_8bit_error"] = (
+                        f"rc={r.returncode}: " + r.stdout[-80:].strip())
+        except subprocess.TimeoutExpired:
+            extra["sha256_8bit_skipped"] = "timeboxed"
+        except Exception as e:  # pragma: no cover
+            extra["sha256_8bit_error"] = repr(e)[:160]
+
     signal.alarm(0)
     print(json.dumps({
         "metric": f"ntt_2e{K}_seconds",

@@ -42,6 +42,54 @@ from .circuit_ir import Expression
 
 P = H.FR_MOD
 
+_AOT_MAGIC = b"SHA2CQZ1"  # zlib-compressed AOT blob container
+
+
+def _aot_blob_write(path, data: bytes) -> None:
+    """Atomically write an AOT executable blob, zlib-compressed by default:
+    the serialized h executable is ~58 MB raw and ~4x smaller compressed —
+    less disk per cached shape and a faster cold read (SHA2CQ_AOT_COMPRESS=0
+    opts out; readers accept both formats)."""
+    import os
+    import zlib
+    if os.environ.get("SHA2CQ_AOT_COMPRESS", "1") == "1":
+        data = _AOT_MAGIC + zlib.compress(data, 1)
+    with open(path + ".tmp", "wb") as f:
+        f.write(data)
+    os.replace(path + ".tmp", path)
+
+
+def _aot_blob_read(path):
+    """Read an AOT blob written by _aot_blob_write (either format);
+    returns the unpickled (blob, in_tree, out_tree) triple."""
+    import pickle
+    import zlib
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:len(_AOT_MAGIC)] == _AOT_MAGIC:
+        data = zlib.decompress(data[len(_AOT_MAGIC):])
+    return pickle.loads(data)
+
+
+def _aot_prune(d: str, keep: Optional[int] = None) -> None:
+    """Drop all but the `keep` most-recently-USED h_all blobs in dir `d`.
+    Recency = mtime, refreshed via os.utime on every cache hit, so this is
+    LRU rather than write-order; SHA2CQ_AOT_KEEP sets the limit (default 64
+    — a serving process cycling through more distinct pk shapes than that
+    should raise it or thrash silently; VERDICT r4 #8)."""
+    import os
+    try:
+        if keep is None:
+            keep = int(os.environ.get("SHA2CQ_AOT_KEEP", "64"))
+        blobs = sorted(
+            (f for f in os.listdir(d)
+             if f.startswith("h_all-") and f.endswith(".pkl")),
+            key=lambda f: os.path.getmtime(os.path.join(d, f)), reverse=True)
+        for old in blobs[keep:]:
+            os.remove(os.path.join(d, old))
+    except Exception:
+        pass
+
 
 @jax.jit
 def _mont_mul_jit(a, b):
@@ -748,30 +796,22 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                 path = _os2.path.join(cache_dir, "aot", f"h_all-{key}.pkl")
             if path and _os2.path.exists(path):
                 with _prof.phase("aot_deser"):
-                    with open(path, "rb") as f:
-                        blob, in_tree, out_tree = pickle.load(f)
-                    exe = deserialize_and_load(blob, in_tree, out_tree)
+                    exe = deserialize_and_load(*_aot_blob_read(path))
+                    # LRU marker: prune keys on mtime, so a cache hit must
+                    # refresh it or a >keep-shape service would evict its
+                    # hottest blobs by write order (VERDICT r4 #8)
+                    try:
+                        _os2.utime(path)
+                    except OSError:
+                        pass
             else:
                 with _prof.phase("aot_compile"):
                     exe = (jit_fn or h_all_jit).lower(*args).compile()
                 if path:
                     _os2.makedirs(_os2.path.dirname(path), exist_ok=True)
-                    with open(path + ".tmp", "wb") as f:
-                        pickle.dump(serialize(exe), f, protocol=4)
-                    _os2.replace(path + ".tmp", path)
-                    # every source edit/platform bump makes a fresh ~58 MB
-                    # blob under a new key: keep the 12 newest, drop the rest
-                    try:
-                        d = _os2.path.dirname(path)
-                        blobs = sorted(
-                            (f for f in _os2.listdir(d)
-                             if f.startswith("h_all-") and f.endswith(".pkl")),
-                            key=lambda f: _os2.path.getmtime(
-                                _os2.path.join(d, f)), reverse=True)
-                        for old in blobs[12:]:
-                            _os2.remove(_os2.path.join(d, old))
-                    except Exception:
-                        pass
+                    _aot_blob_write(path, pickle.dumps(serialize(exe),
+                                                       protocol=4))
+                    _aot_prune(_os2.path.dirname(path))
         except Exception as e:  # AOT is an optimization only
             print(f"[h_all aot] disabled: {e!r:.120}", flush=True)
             aot_memo["failed"] = True

@@ -472,7 +472,7 @@ static void msm_window_affine(const pt *pts, const fq *nys, const short *digs,
     __builtin_free(cnt);
 }
 
-static void g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
+static int g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
     /* the commitment bases are affine (z == 1): batch-affine tree path
      * with signed c-bit digits (half the buckets) */
     int affine = 1;
@@ -502,6 +502,11 @@ static void g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
     if (affine) {
         short *digs = (short *)__builtin_malloc(sizeof(short) * (size_t)n * nw);
         fq *nys = (fq *)__builtin_malloc(sizeof(fq) * (size_t)n);
+        if (!digs || !nys) {
+            __builtin_free(digs);
+            __builtin_free(nys);
+            return -1;
+        }
         fq zero;
         memset(&zero, 0, sizeof zero);
         #ifdef _OPENMP
@@ -522,11 +527,17 @@ static void g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
             /* carry out of the top window is impossible: scalars < 2^254 */
             fq_sub(&nys[i], &zero, &pts[i].y);
         }
+        int oom = 0;
         #ifdef _OPENMP
         #pragma omp parallel for schedule(dynamic, 1)
         #endif
         for (int w = 0; w < nw; w++) {
             fq *px = (fq *)__builtin_malloc(sizeof(fq) * (size_t)(3 * n + 2));
+            if (!px) {
+                oom = 1;
+                pt_set_identity(&wsum[w]);
+                continue;
+            }
             fq *py = px + n;
             fq *pairbuf = py + n;   /* n/2 dinv + n/2 prefix + slack */
             msm_window_affine(pts, nys, digs, n, nw, w, hb,
@@ -535,6 +546,7 @@ static void g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
         }
         __builtin_free(digs);
         __builtin_free(nys);
+        if (oom) return -1;
     } else {
         #ifdef _OPENMP
         #pragma omp parallel for schedule(dynamic, 1)
@@ -551,6 +563,7 @@ static void g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
         pt_add(&total, &total, &wsum[w]);
     }
     store_pt(out, &total);
+    return 0;
 }
 
 void g1_msm(const u64 *points, const u64 *scalars, long n, u64 *out) {
@@ -561,6 +574,111 @@ void g1_msm(const u64 *points, const u64 *scalars, long n, u64 *out) {
     for (long i = 0; i < n; i++) load_pt(&pts[i], points + 12 * i);
     g1_msm_core(pts, scalars, n, out);
     __builtin_free(pts);
+}
+
+static long pt_batch_to_affine_compact(pt *p, const u64 *sc_in, u64 *sc_out,
+                                       long n);
+
+/* One indexed/plain MSM job: out = sum_i scalars[i] * base[idx ? idx[i] : i].
+ * Returns 0, or -1 on allocation failure (out untouched). */
+static int msm_job_plain(const u64 *base, const long *idx,
+                         const u64 *scalars, long n, u64 *out) {
+    if (n <= 0) {
+        pt id;
+        pt_set_identity(&id);
+        store_pt(out, &id);
+        return 0;
+    }
+    pt *pts = (pt *)__builtin_malloc(sizeof(pt) * (size_t)n);
+    if (!pts) return -1;
+    for (long i = 0; i < n; i++)
+        load_pt(&pts[i], base + 12 * (idx ? idx[i] : i));
+    int rc = g1_msm_core(pts, scalars, n, out);
+    __builtin_free(pts);
+    return rc;
+}
+
+/* One grouped sparse MSM job (see g1_msm_grouped_multi for semantics).
+ * Returns 0, or -1 on allocation failure (out untouched). */
+static int msm_job_grouped(const u64 *base, const long *rows,
+                           const long *starts, long ng,
+                           const u64 *scalars, u64 *out) {
+    if (ng <= 0) {
+        pt id;
+        pt_set_identity(&id);
+        store_pt(out, &id);
+        return 0;
+    }
+    pt *grp = (pt *)__builtin_malloc(sizeof(pt) * (size_t)ng);
+    u64 *sc = (u64 *)__builtin_malloc(sizeof(u64) * 4 * (size_t)ng);
+    if (!grp || !sc) {
+        __builtin_free(grp);
+        __builtin_free(sc);
+        return -1;
+    }
+    for (long g = 0; g < ng; g++) {
+        pt acc;
+        pt_set_identity(&acc);
+        for (long i = starts[g]; i < starts[g + 1]; i++) {
+            const u64 *q = base + 12 * rows[i];
+            fq x = {{q[0], q[1], q[2], q[3]}};
+            fq y = {{q[4], q[5], q[6], q[7]}};
+            fq mx, my;
+            fq_to_mont(&mx, &x);
+            fq_to_mont(&my, &y);
+            pt_add_mixed(&acc, &acc, &mx, &my);
+        }
+        grp[g] = acc;
+    }
+    long m = pt_batch_to_affine_compact(grp, scalars, sc, ng);
+    int rc = 0;
+    if (m == 0) {
+        pt id;
+        pt_set_identity(&id);
+        store_pt(out, &id);
+    } else {
+        rc = g1_msm_core(grp, sc, m, out);
+    }
+    __builtin_free(sc);
+    __builtin_free(grp);
+    return rc;
+}
+
+/* Plain/indexed AND grouped MSM jobs co-scheduled in ONE OpenMP region:
+ * the CQ phase previously ran g1_msm_multi then g1_msm_grouped_multi
+ * back-to-back, so the tail of the first batch idled cores before the
+ * second started.  modes[j]: 0 = plain/indexed (idx_or_rows = optional
+ * index list, sizes = n), 1 = grouped (idx_or_rows = CSR rows, starts =
+ * CSR offsets, sizes = ngroups).  status[j] gets 0 on success, 1 on
+ * allocation failure (out slot set to identity); returns the failure
+ * count so callers can re-route failed jobs to a fallback path. */
+long g1_msm_unified(const long *modes, const u64 **bases,
+                    const long **idx_or_rows, const long **starts,
+                    const long *sizes, const u64 **scalars, long k,
+                    u64 *out, long *status) {
+    long failed = 0;
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(dynamic, 1) reduction(+:failed)
+    #endif
+    for (long j = 0; j < k; j++) {
+        int rc;
+        if (modes[j] == 1)
+            rc = msm_job_grouped(bases[j], idx_or_rows[j], starts[j],
+                                 sizes[j], scalars[j], out + 12 * j);
+        else
+            rc = msm_job_plain(bases[j], idx_or_rows ? idx_or_rows[j] : 0,
+                               scalars[j], sizes[j], out + 12 * j);
+        if (rc != 0) {
+            pt id;
+            pt_set_identity(&id);
+            store_pt(out + 12 * j, &id);
+            status[j] = 1;
+            failed += 1;
+        } else {
+            status[j] = 0;
+        }
+    }
+    return failed;
 }
 
 /* MSM over a subset of a fixed basis: out = sum_i scalars[i] *
@@ -594,19 +712,13 @@ void g1_msm_multi(const u64 **bases, const long **indices,
     #pragma omp parallel for schedule(dynamic, 1)
     #endif
     for (long j = 0; j < k; j++) {
-        long n = sizes[j];
-        if (n <= 0) {
-            pt id;
+        if (msm_job_plain(bases[j], indices ? indices[j] : 0,
+                          scalars[j], sizes[j], out + 12 * j) != 0) {
+            pt id;    /* alloc failure: identity (legacy ABI has no status
+                       * channel; use g1_msm_unified for checked results) */
             pt_set_identity(&id);
             store_pt(out + 12 * j, &id);
-            continue;
         }
-        pt *pts = (pt *)__builtin_malloc(sizeof(pt) * (size_t)n);
-        const long *idx = indices ? indices[j] : 0;
-        for (long i = 0; i < n; i++)
-            load_pt(&pts[i], bases[j] + 12 * (idx ? idx[i] : i));
-        g1_msm_core(pts, scalars[j], n, out + 12 * j);
-        __builtin_free(pts);
     }
 }
 
@@ -666,42 +778,12 @@ void g1_msm_grouped_multi(const u64 **bases, const long **rows,
     #pragma omp parallel for schedule(dynamic, 1)
     #endif
     for (long j = 0; j < k; j++) {
-        long ng = ngroups[j];
-        if (ng <= 0) {
-            pt id;
+        if (msm_job_grouped(bases[j], rows[j], starts[j], ngroups[j],
+                            scalars[j], out + 12 * j) != 0) {
+            pt id;    /* alloc failure: identity (legacy ABI; see above) */
             pt_set_identity(&id);
             store_pt(out + 12 * j, &id);
-            continue;
         }
-        pt *grp = (pt *)__builtin_malloc(sizeof(pt) * (size_t)ng);
-        u64 *sc = (u64 *)__builtin_malloc(sizeof(u64) * 4 * (size_t)ng);
-        const u64 *base = bases[j];
-        const long *rw = rows[j];
-        const long *st = starts[j];
-        for (long g = 0; g < ng; g++) {
-            pt acc;
-            pt_set_identity(&acc);
-            for (long i = st[g]; i < st[g + 1]; i++) {
-                const u64 *q = base + 12 * rw[i];
-                fq x = {{q[0], q[1], q[2], q[3]}};
-                fq y = {{q[4], q[5], q[6], q[7]}};
-                fq mx, my;
-                fq_to_mont(&mx, &x);
-                fq_to_mont(&my, &y);
-                pt_add_mixed(&acc, &acc, &mx, &my);
-            }
-            grp[g] = acc;
-        }
-        long m = pt_batch_to_affine_compact(grp, scalars[j], sc, ng);
-        if (m == 0) {
-            pt id;
-            pt_set_identity(&id);
-            store_pt(out + 12 * j, &id);
-        } else {
-            g1_msm_core(grp, sc, m, out + 12 * j);
-        }
-        __builtin_free(sc);
-        __builtin_free(grp);
     }
 }
 

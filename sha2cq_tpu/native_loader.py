@@ -271,6 +271,73 @@ def native_msm_grouped_multi(jobs) -> Optional[List[tuple]]:
     return [_unpack_jac(out, j) for j in range(k)]
 
 
+def native_msm_unified(jobs) -> Optional[List[Optional[tuple]]]:
+    """Plain/indexed AND grouped MSM jobs co-scheduled in ONE native call
+    (g1_msm_unified — one OpenMP region, so grouped b0/p jobs fill the
+    tail-idle cores of the indexed batch instead of running after it).
+    jobs: list of ("p", packed, indices_or_None, scalars) or
+    ("g", packed, rows, starts, scalars).  Returns one Jacobian tuple per
+    job (None for a job the native side failed to allocate — caller falls
+    back per-job), or None when native is unavailable entirely."""
+    lib = get_lib()
+    if lib is None or any(j[1] is None for j in jobs):
+        return None
+    if not hasattr(lib, "g1_msm_unified"):
+        return None
+    k = len(jobs)
+    if k == 0:
+        return []
+    import numpy as np
+    U64P = ctypes.POINTER(ctypes.c_uint64)
+    LP = ctypes.POINTER(ctypes.c_long)
+    modes = (ctypes.c_long * k)()
+    bases = (U64P * k)()
+    idx_or_rows = (LP * k)()
+    starts = (LP * k)()
+    sizes = (ctypes.c_long * k)()
+    scal = (U64P * k)()
+    keep = []
+    for j, job in enumerate(jobs):
+        if job[0] == "g":
+            _, packed, rw, st, sc = job
+            modes[j] = 1
+            ra = np.ascontiguousarray(rw, dtype=np.int64)
+            sa = np.ascontiguousarray(st, dtype=np.int64)
+            sb = np.ascontiguousarray(sc)
+            keep.extend((ra, sa, sb))
+            idx_or_rows[j] = ctypes.cast(ra.ctypes.data_as(LP), LP)
+            starts[j] = ctypes.cast(sa.ctypes.data_as(LP), LP)
+            sizes[j] = sa.shape[0] - 1
+            scal[j] = _u64p(sb)
+        else:
+            _, packed, indices, scalars = job
+            modes[j] = 0
+            starts[j] = None
+            if indices is None:
+                idx_or_rows[j] = None
+            else:
+                ia = np.ascontiguousarray(indices, dtype=np.int64)
+                keep.append(ia)
+                idx_or_rows[j] = ctypes.cast(ia.ctypes.data_as(LP), LP)
+            if isinstance(scalars, np.ndarray):
+                sb = np.ascontiguousarray(scalars)
+                keep.append(sb)
+                scal[j] = _u64p(sb)
+                sizes[j] = sb.shape[0]
+            else:
+                sb = _pack_scalars([s % _FR_MOD for s in scalars])
+                keep.append(sb)
+                scal[j] = ctypes.cast(sb, U64P)
+                sizes[j] = len(scalars)
+        bases[j] = ctypes.cast(job[1], U64P)
+    out = (ctypes.c_uint64 * (12 * k))()
+    status = (ctypes.c_long * k)()
+    lib.g1_msm_unified.restype = ctypes.c_long
+    lib.g1_msm_unified(modes, bases, idx_or_rows, starts, sizes, scal,
+                       ctypes.c_long(k), out, status)
+    return [None if status[j] else _unpack_jac(out, j) for j in range(k)]
+
+
 def native_fr_ntt_multi(bufs, twiddles_buf, k: int, ninv: Optional[int] = None) -> bool:
     """In-place NTT of every (n, 4) u64 buffer in bufs (one native call,
     OpenMP across transforms).  Pass inverse twiddles + ninv = 1/n for a
@@ -382,6 +449,11 @@ def _pack_g2_affine_cached(points):
     if len(points) > 4096:
         _g2_srs_pack_cache[key] = (points, buf, len(points))
     return buf
+
+
+# BN254 scalar-field modulus (native_loader stays import-cycle-free of the
+# package, so the constant lives here too; pinned equal in tests)
+_FR_MOD = 0x30644E72E131A029B85045B68181585D2833E84879B9709143E1F593F0000001
 
 
 def _pack_scalars(scalars: List[int]) -> "ctypes.Array":

@@ -456,6 +456,23 @@ def msm_multi(jobs) -> list:
     return out
 
 
+def msm_combined(jobs, gjobs) -> list:
+    """Plain/indexed jobs + grouped jobs in ONE native OpenMP region
+    (g1_msm_unified), so the grouped b0/p batch fills the tail-idle cores
+    of the indexed batch instead of running strictly after it.  Returns
+    results in jobs + gjobs order; per-job allocation failures (and an
+    absent/old native lib) fall back to the split paths."""
+    uni = [("p", p, i, s) for (p, i, s, _pts) in jobs] + \
+          [("g", p, r, st, sc) for (p, r, st, sc) in gjobs]
+    from ..native_loader import native_msm_unified
+    res = native_msm_unified(uni)
+    if res is not None and all(r is not None for r in res):
+        return [CH.jac_to_affine(jac) for jac in res]
+    out_p = msm_multi(jobs)
+    out_g = msm_grouped_multi(gjobs) if gjobs else []
+    return out_p + out_g
+
+
 def msm_grouped_multi(jobs) -> list:
     """Many grouped sparse MSMs in ONE native call: per job
     (packed_basis, rows, starts, scalars) computes

@@ -617,7 +617,13 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
         # above already computed 1/(T+beta) per distinct row, reused here.
         sparse_bases = _b0_sparse_bases(pk, params)
         grouped: List[Optional[tuple]] = [None] * len(committed_list)
-        if sparse_bases is not None:
+        # the grouped kernel is native-only, so also require both PACKED
+        # buffers (pack_points_affine refuses a basis containing the
+        # identity — astronomically unlikely but possible); the row-sparse
+        # path below degrades gracefully through msm_multi's host fallback
+        if (sparse_bases is not None
+                and sparse_bases[0][0] is not None
+                and sparse_bases[1][0] is not None):
             from ..native_loader import native_fr_scale_buf
             n_inv_g = inv_mod(n, P)
             minus_binv_g = fr_buf([(P - beta_inv) % P])
@@ -746,10 +752,13 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
                 jobs.append((bound_packed, None, b0_coeffs,
                              pk.b0_g1_bound[: b0_coeffs.shape[0]]))
                 job_of.append((i, "p"))
-        cms = M.msm_multi(jobs)
         if gjobs:
-            cms = cms + M.msm_grouped_multi(gjobs)
+            # one native call, one OpenMP region: grouped b0/p jobs fill
+            # the tail-idle cores of the indexed batch
+            cms = M.msm_combined(jobs, gjobs)
             job_of = job_of + gjob_of
+        else:
+            cms = M.msm_multi(jobs)
 
     out: List[dict] = []
     by_arg: List[dict] = [dict() for _ in committed_list]

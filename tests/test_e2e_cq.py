@@ -278,6 +278,11 @@ def test_grouped_b0_commitments_match_row_sparse_and_dense(monkeypatch):
     monkeypatch.setattr(M, "msm_grouped_multi",
                         lambda jobs: calls.append(len(jobs))
                         or real_grouped(jobs))
+    # grouped jobs now ride the unified one-call path; count them there too
+    real_combined = M.msm_combined
+    monkeypatch.setattr(M, "msm_combined",
+                        lambda jobs, gjobs: calls.append(len(gjobs))
+                        or real_combined(jobs, gjobs))
     proof_grouped = create_proof(params, pk, [circuit], [[]],
                                  rng=random.Random(5))
     if not calls:

@@ -126,3 +126,43 @@ def test_packed_basis_corrupt_file_falls_back(tmp_path, monkeypatch):
 
     second = M.packed_basis(B(), "_x", pts)
     assert bytes(first) == bytes(second)
+
+
+def test_msm_combined_matches_split_paths():
+    """msm_combined (one g1_msm_unified call) must return exactly what the
+    split msm_multi + msm_grouped_multi paths return, in jobs+gjobs order,
+    including empty jobs on both sides."""
+    import numpy as np
+
+    from sha2cq_tpu.native_loader import fr_buf
+
+    rng = random.Random(23)
+    pts = _points(48, seed=9)
+
+    class Holder:
+        pass
+
+    packed = M.packed_basis(Holder(), "_p", pts)
+    jobs = [
+        (packed, None, [rng.randrange(FR_MOD) for _ in range(48)], pts),
+        (packed, [1, 17, 30, 30], [rng.randrange(FR_MOD) for _ in range(4)],
+         pts),
+        (packed, None, [], pts),
+    ]
+    gids = [rng.randrange(5) for _ in range(48)]
+    gsc = [rng.randrange(FR_MOD) for _ in range(5)]
+    order = np.argsort(np.array(gids), kind="stable").astype(np.int64)
+    counts = np.bincount(np.array(gids), minlength=5)
+    starts = np.zeros(6, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    gjobs = [
+        (packed, order, starts, fr_buf(gsc)),
+        (packed, np.zeros(0, np.int64), np.zeros(1, np.int64),
+         np.zeros((0, 4), "<u8")),
+    ]
+    combined = M.msm_combined(jobs, gjobs)
+    split = M.msm_multi(jobs) + M.msm_grouped_multi(gjobs)
+    assert combined == split
+    assert combined[0] == _host_msm(jobs[0][2], pts)
+    assert combined[3] == _host_msm([gsc[g] for g in gids], pts)
+    assert combined[2] is None and combined[4] is None

@@ -201,6 +201,15 @@ class PlonkApiCircuit:
     A_VALS = [3, 7, 5, 8, 9]
     B_VALS = [4, 3, 11, 2, 4]
 
+    def __init__(self, a_vals=None, b_vals=None):
+        # per-instance witnesses for the multi-circuit fixture; the copy
+        # constraint b[1] == a[0] must hold, so b_vals[1] tracks a_vals[0]
+        if a_vals is not None:
+            self.A_VALS = a_vals
+        if b_vals is not None:
+            self.B_VALS = b_vals
+        assert self.B_VALS[1] == self.A_VALS[0]
+
     def synthesize(self, cfg, layouter):
         from sha2cq_tpu.circuit import Value
 
@@ -273,8 +282,59 @@ def gen_plonkapi(check: bool) -> None:
         _emit(f"plonkapi_{scheme}", proof, meta, check)
 
 
+def gen_multicircuit(check: bool) -> None:
+    """ONE proof over a TWO-circuit slice (reference
+    halo2_proofs/src/plonk/prover.rs:51-60 — `circuits: &[ConcreteCircuit]`
+    with phase-major advice commitment interleaving).  Same constraint
+    system as gen_plonkapi, two witness/instance sets; the Rust mirror
+    (plonkapi_crosscheck.rs multi leg) needs only a two-element circuit
+    vector and the doubled instance slice."""
+    K = 5
+    s = random.Random(0x706170).randrange(P)  # same SRS as plonkapi
+    from sha2cq_tpu.poly.kzg.params import ParamsKZG
+    params = ParamsKZG.setup_from_toxic_waste(K, s)
+    c1 = PlonkApiCircuit()
+    a2 = [6, 2, 10, 1, 7]
+    b2 = [5, 6, 9, 8, 2]        # b2[1] == a2[0] (copy constraint)
+    c2 = PlonkApiCircuit(a2, b2)
+    inst1 = [c1.A_VALS[0] * c1.B_VALS[0] % P]
+    inst2 = [a2[0] * b2[0] % P]
+    vk = keygen_vk(params, c1, compress_selectors=True)
+    pk = keygen_pk(params, {}, [], vk, c1, compress_selectors=True)
+    proof = create_proof(params, pk, [c1, c2], [[inst1], [inst2]],
+                         rng=random.Random(0x63), multiopen="gwc")
+    read = RecordingRead(proof)
+    strategy = AccumulatorStrategy(params.verifier_params(),
+                                   rng=random.Random(1))
+    assert verify_proof(params.verifier_params(), vk, strategy,
+                        [[inst1], [inst2]], read,
+                        multiopen="gwc").check(), \
+        "multi-circuit fixture proof must verify"
+    meta = {
+        "circuit": "PlonkApiCircuit x2 in ONE proof (create_proof over a "
+                   "circuit slice, reference plonk/prover.rs:51-60); Rust "
+                   "mirror: crosscheck/rust/plonkapi_crosscheck.rs "
+                   "multicircuit test",
+        "multiopen": "gwc",
+        "k": K,
+        "toxic_s": hex(s),
+        "a_vals": [c1.A_VALS, a2],
+        "b_vals": [c1.B_VALS, b2],
+        "lookup_table": PlonkApiCircuit.TABLE,
+        "instances": [inst1, inst2],
+        "challenges": [hex(c) for c in read.challenges],
+        "vk_transcript_repr": hex(vk.transcript_repr),
+        "vk_pinned_rust": vk._pinned_str_rust(),
+        "notes": "instances.txt rows are per-circuit (circuit 0 line, then "
+                 "circuit 1 line); the verifier reads advice commitments "
+                 "circuit-major within each phase.",
+    }
+    _emit("plonkapi_multi", proof, meta, check)
+
+
 if __name__ == "__main__":
     check = "--check" in sys.argv
     gen_mytest(check)
     gen_simple(check)
     gen_plonkapi(check)
+    gen_multicircuit(check)

@@ -171,10 +171,17 @@ fn run(name: &str, shplonk: bool) {
     let s_dec = fs::read_to_string(dir.join("s_dec.txt")).unwrap();
     let s = Fr::from_str_vartime(s_dec.trim()).expect("bad s_dec.txt");
     let proof = fs::read(dir.join("proof.bin")).unwrap();
-    let instances: Vec<Fr> = fs::read_to_string(dir.join("instances.txt"))
+    // one line per circuit in the proof slice (single-circuit fixtures
+    // have one line; plonkapi_multi has two — prover.rs:51-60)
+    let per_circuit: Vec<Vec<Fr>> = fs::read_to_string(dir.join("instances.txt"))
         .unwrap()
-        .split_whitespace()
-        .map(|w| Fr::from_str_vartime(w).unwrap())
+        .lines()
+        .filter(|l| !l.trim().is_empty())
+        .map(|l| {
+            l.split_whitespace()
+                .map(|w| Fr::from_str_vartime(w).unwrap())
+                .collect()
+        })
         .collect();
 
     let circuit = PlonkApiCircuit::<Bn256> { _marker: Default::default() };
@@ -189,6 +196,10 @@ fn run(name: &str, shplonk: bool) {
 
     let mut transcript = Blake2bRead::<_, _, Challenge255<_>>::init(&proof[..]);
     let verifier_params = params.verifier_params();
+    let col_slices: Vec<Vec<&[Fr]>> =
+        per_circuit.iter().map(|cols| vec![&cols[..]]).collect();
+    let instance_slices: Vec<&[&[Fr]]> =
+        col_slices.iter().map(|c| &c[..]).collect();
     let tuples = if shplonk {
         let strategy = VerificationStrategy::<Bn256, VerifierSHPLONK<_>>::new(verifier_params);
         let batcher = verify_proof::<
@@ -201,7 +212,7 @@ fn run(name: &str, shplonk: bool) {
             verifier_params,
             pk.get_vk(),
             strategy,
-            &[&[&instances[..]]],
+            &instance_slices[..],
             &mut transcript,
         )
         .expect("verify_proof (shplonk)");
@@ -218,7 +229,7 @@ fn run(name: &str, shplonk: bool) {
             verifier_params,
             pk.get_vk(),
             strategy,
-            &[&[&instances[..]]],
+            &instance_slices[..],
             &mut transcript,
         )
         .expect("verify_proof (gwc)");
@@ -242,4 +253,12 @@ fn sha2cq_tpu_plonkapi_gwc_proof_verifies() {
 #[test]
 fn sha2cq_tpu_plonkapi_shplonk_proof_verifies() {
     run("plonkapi_shplonk", true);
+}
+
+#[test]
+fn sha2cq_tpu_plonkapi_multicircuit_proof_verifies() {
+    // ONE proof over a TWO-circuit slice (plonk/prover.rs:51-60): the
+    // verifier only needs the doubled instance slice — advice commitments
+    // are read circuit-major within each phase (verifier.rs:105-131)
+    run("plonkapi_multi", false);
 }

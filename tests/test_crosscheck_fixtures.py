@@ -22,6 +22,7 @@ def test_fixtures_match_live_stack():
     gen_fixtures.gen_mytest(check=True)
     gen_fixtures.gen_simple(check=True)
     gen_fixtures.gen_plonkapi(check=True)
+    gen_fixtures.gen_multicircuit(check=True)
 
 
 @pytest.mark.skipif(shutil.which("cargo") is None,

@@ -44,6 +44,12 @@ from ..fields.device import FQ, NLIMB, U32
 # the framework by design, and the TPU carries the MXU-shaped work
 # (basis conversions, h evaluation).  msm_device stays available for
 # benchmarking and for future mesh-sharded table preprocessing.
+# Round-5 closure (benchmarks/mxu_montmul_probe.py on the chip, BASELINE.md):
+# the per-lane Toeplitz dot_general formulation of the PAIRWISE Montgomery
+# multiply measured 75.5 Mmul/s vs 44.9 on the VPU — 1.68x, far under the
+# >=4x rebuild threshold (the shared-operand contrast hit 587 Mmul/s, but
+# point adds have no shared contraction operand) — so a device point-add
+# cannot be made MXU-shaped and the host-native MSM split is permanent.
 HOST_THRESHOLD = 1 << 20
 
 

@@ -728,6 +728,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
     use_oneprog = (use_mxu and vm_prog is not None and
                    _os2.environ.get("SHA2CQ_H_ONEPROG", "1") == "1")
     aot_memo: dict = {}
+    instrs_memo: dict = {}   # per-pk VM instruction arrays, device-resident
 
     def _aot_cache_key(args):
         """Executable-identity key WITHOUT lowering.  The compiled h_all
@@ -840,10 +841,16 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
             cn = dict(consts)
             cn["ifft_div"] = ifft_div
             cn["ext_ifft_div"] = ext_ifft_div
+            # instrs is a per-pk constant: ship it once per process and
+            # reuse the device handle (one fewer upload round trip/prove)
+            instrs_dev = instrs_memo.get(id(prog))
+            if instrs_dev is None:
+                instrs_dev = instrs_memo[id(prog)] = jnp.asarray(prog.instrs)
+            profiler.count("rt_h_upload", 1)      # scal_np ships per prove
             args = (inputs["advice"], inputs["instance"], inputs["z"],
                     inputs["lookups"], inputs["static_b"],
                     inputs["static_f"], jnp.asarray(scal_np),
-                    jnp.asarray(prog.instrs), cn, plans, dims)
+                    instrs_dev, cn, plans, dims)
             if _os2.environ.get("SHA2CQ_H_LOWER_DEBUG"):
                 # persistent-cache-key diagnosis: hash the lowered module and
                 # jax's own cache key; any run-to-run difference here is a
@@ -875,6 +882,7 @@ def build_h_fn(pk, use_mxu: Optional[bool] = None, max_chunk_nodes: int = 100):
                     raise RuntimeError("SHA2CQ_H_LOWER_ONLY")
             exe = _aot_executable(args, jit_fn)
             with profiler.phase("dispatch"):
+                profiler.count("rt_h_dispatch", 1)
                 if exe is not None:
                     try:
                         h_dev, adv_coeff = exe(*args[:10])

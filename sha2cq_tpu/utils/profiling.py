@@ -104,9 +104,28 @@ class Profiler:
 
         return mark
 
+    def count(self, name: str, inc: int = 1) -> None:
+        """Count an event (no timing): host<->device round trips, dispatch
+        RPCs, fetches.  Reported as 'name = N' lines; the warm-prove floor
+        through the axon tunnel is round-trip-shaped (~7 ms each), so the
+        count IS the latency model (VERDICT r4 #6)."""
+        if not self._enabled:
+            return
+        self._counts[name] = self._counts.get(name, 0) + inc
+
+    @property
+    def _counts(self) -> Dict[str, int]:
+        c = getattr(self, "_count_store", None)
+        if c is None:
+            c = self._count_store = {}
+        return c
+
     # -- reporting
     def timings(self) -> Dict[str, float]:
         return {k: v[0] for k, v in self._records.items()}
+
+    def counts(self) -> Dict[str, int]:
+        return dict(self._counts)
 
     def report(self, title: str = "prover phases") -> str:
         if not self._records:
@@ -120,7 +139,12 @@ class Profiler:
             suffix = f" ({pct:4.1f}%)" if "/" not in path else ""
             times = f" x{cnt}" if cnt > 1 else ""
             lines.append(f"  {indent}{name:<28s} {dt:8.3f}s{times}{suffix}")
+        for name, n in sorted(self._counts.items()):
+            lines.append(f"  {name:<30s} = {n}")
         return "\n".join(lines)
+
+    def reset_counts(self) -> None:
+        self._counts.clear()
 
 
 profiler = Profiler()

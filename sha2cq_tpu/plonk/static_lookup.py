@@ -752,6 +752,15 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
                 jobs.append((bound_packed, None, b0_coeffs,
                              pk.b0_g1_bound[: b0_coeffs.shape[0]]))
                 job_of.append((i, "p"))
+        # workload decomposition counters (BASELINE round-5: the phase is
+        # A-side-dominated — a/qa/a0 are |distinct|-sized by construction,
+        # so the grouped redesign only shrinks the b0/p share)
+        profiler.count("cq_pts_indexed",
+                       sum(len(j[2]) for j in jobs))
+        profiler.count("cq_pts_grouped_rows",
+                       sum(len(j[1]) for j in gjobs))
+        profiler.count("cq_pts_grouped_groups",
+                       sum(len(j[2]) - 1 for j in gjobs))
         if gjobs:
             # one native call, one OpenMP region: grouped b0/p jobs fill
             # the tail-idle cores of the indexed batch

@@ -52,6 +52,7 @@ class Profiler:
 
     def reset(self) -> None:
         self._records.clear()
+        self._counts.clear()
 
     # -- measurement
     @contextlib.contextmanager

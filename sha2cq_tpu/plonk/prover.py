@@ -189,18 +189,22 @@ def create_proof(params, pk: ProvingKey, circuits: Sequence, instances,
             raise ValueError("InvalidInstances")
 
     mark = profiler.marker("create_proof")
-    pk.vk.hash_into(transcript)
 
-    # Prefetch the device h pipeline on a background thread: building the
+    # Prefetch the device h pipeline on a background thread FIRST — before
+    # even vk.hash_into — to maximize the overlap window: building the
     # per-pk consts/plans and deserializing the AOT executable costs ~8 s of
-    # a fresh process and depends only on the proving key (shapes), so it
-    # overlaps the GIL-releasing native witness/commitment/CQ phases below.
+    # a fresh process, the remote program load 6-440 s under tunnel load
+    # (BASELINE round-5 distribution), and all of it depends only on the
+    # proving key (shapes), so it overlaps everything from the vk hash
+    # through the GIL-releasing native witness/commitment/CQ phases.
     # A production service calls prewarm_prover(pk) at boot instead, making
     # the first request's prove ~warm.  The h phase joins before use;
     # get_h_fn memoizes on pk.
     h_prefetch = None
     if h_device and mesh is None:
         h_prefetch = prewarm_prover(pk, h_mxu=h_mxu)
+
+    pk.vk.hash_into(transcript)
 
     # instance values -> lagrange + coeff polys; raw values absorbed into the
     # transcript up front (prover.rs:100-131 / verifier.rs:52-55 order)

@@ -184,6 +184,7 @@ def main() -> None:
             h_dev = os.environ.get("SHA2CQ_BENCH_SHA_DEVICE", "1") == "1"
             env["SHA2CQ_H_DEVICE"] = "1" if h_dev else "0"
             env["SHA2CQ_BENCH_WARM"] = "1"
+            env["SHA2CQ_BENCH_BOTH_MULTIOPEN"] = "1"
             try:
                 # up to two attempts: a fresh process = a fresh tunnel
                 # session; wedged sessions exit 9 via the bench's own probe
@@ -211,6 +212,9 @@ def main() -> None:
                     extra["sha256_h_device"] = h_dev
                     if "prove_warm_s" in stats:
                         extra["sha256_prove_warm_s"] = stats["prove_warm_s"]
+                    if "prove_warm_shplonk_s" in stats:
+                        extra["sha256_prove_warm_shplonk_s"] = (
+                            stats["prove_warm_shplonk_s"])
                 else:
                     extra["sha256_error"] = (
                         f"rc={r.returncode}: " + r.stdout[-80:].strip())

@@ -142,6 +142,22 @@ def main():
         stats["prove_warm_s"] = round(time.time() - t0, 2)
         print(profiler.report("warm prove phases"))
         assert len(proof_w) == len(proof)
+        if os.environ.get("SHA2CQ_BENCH_BOTH_MULTIOPEN", "0") == "1":
+            # one more warm prove under the OTHER multiopen scheme, so one
+            # bench run reports both (GWC = my_test parity default;
+            # SHPLONK = the native-fold fast path)
+            other = "shplonk" if multiopen == "gwc" else "gwc"
+            profiler.reset()
+            t0 = time.time()
+            proof_o = create_proof(params, pk, [circuit], [[digest]],
+                                   rng=random.Random(7), h_device=True,
+                                   multiopen=other)
+            stats[f"prove_warm_{other}_s"] = round(time.time() - t0, 2)
+            ok_o = verify_proof(params, vk,
+                                AccumulatorStrategy(params, rng=rng),
+                                [[digest]], Blake2bRead(proof_o),
+                                multiopen=other).check()
+            assert ok_o
     print(json.dumps(stats))
 
 

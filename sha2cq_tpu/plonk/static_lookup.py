@@ -764,10 +764,12 @@ def static_lookup_log_derivatives_all(committed_list, pk, params, domain,
         if gjobs:
             # one native call, one OpenMP region: grouped b0/p jobs fill
             # the tail-idle cores of the indexed batch
-            cms = M.msm_combined(jobs, gjobs)
+            with profiler.phase("native_call"):
+                cms = M.msm_combined(jobs, gjobs)
             job_of = job_of + gjob_of
         else:
-            cms = M.msm_multi(jobs)
+            with profiler.phase("native_call"):
+                cms = M.msm_multi(jobs)
 
     out: List[dict] = []
     by_arg: List[dict] = [dict() for _ in committed_list]

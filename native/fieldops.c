@@ -472,12 +472,201 @@ static void msm_window_affine(const pt *pts, const fq *nys, const short *digs,
     __builtin_free(cnt);
 }
 
+/* Lockstep batch-affine core for SMALL n: all windows' tree rounds run in
+ * step with ONE shared batched inversion per round.  Per-window inversions
+ * (one ~12.5 us Fermat per tree round per window) dominate tiny MSMs —
+ * the CQ phase issues ~200 sub-100-point jobs per SHA-256 proof (a/qa/a0
+ * per lookup argument) and measured ~1 ms/job, ~2.4 ms of it inversions.
+ * Requires affine inputs (z == 1); caller guarantees. */
+#define MSM_SMALL_N 512
+static int g1_msm_core_small(pt *pts, const u64 *scalars, long n, u64 *out) {
+    enum { C = 8, HB = 1 << (C - 1), NW = 32 };
+    /* signed digit decomposition (same as the big path at c=8) */
+    short *digs = (short *)__builtin_malloc(sizeof(short) * (size_t)n * NW);
+    fq *nys = (fq *)__builtin_malloc(sizeof(fq) * (size_t)n);
+    /* per-window bucketed point lists + shared inversion scratch */
+    fq *PX = (fq *)__builtin_malloc(sizeof(fq) * (size_t)n * NW * 3);
+    long *meta = (long *)__builtin_malloc(
+        sizeof(long) * (size_t)NW * (2 * (HB + 1) + 1));
+    if (!digs || !nys || !PX || !meta) {
+        __builtin_free(digs); __builtin_free(nys);
+        __builtin_free(PX); __builtin_free(meta);
+        return -1;
+    }
+    fq zero;
+    memset(&zero, 0, sizeof zero);
+    for (long i = 0; i < n; i++) {
+        int carry = 0;
+        for (int w = 0; w < NW; w++) {
+            int limb = (w * C) / 64;
+            int shift = (w * C) % 64;
+            u64 d = (scalars[4 * i + limb] >> shift);
+            if (shift > 64 - C && limb < 3)
+                d |= scalars[4 * i + limb + 1] << (64 - shift);
+            int v = (int)(d & ((u64)(1 << C) - 1)) + carry;
+            if (v > HB) { v -= (1 << C); carry = 1; } else carry = 0;
+            digs[i * NW + w] = (short)v;
+        }
+        fq_sub(&nys[i], &zero, &pts[i].y);
+    }
+    /* counting sort into per-window bucket lists */
+    long maxc = 0;
+    for (int w = 0; w < NW; w++) {
+        long *cnt = meta + (size_t)w * (2 * (HB + 1) + 1);
+        long *off = cnt + HB + 1;
+        memset(cnt, 0, sizeof(long) * (HB + 1));
+        for (long i = 0; i < n; i++) {
+            int v = digs[i * NW + w];
+            if (v) cnt[v > 0 ? v : -v]++;
+        }
+        long tot = 0;
+        for (int b = 1; b <= HB; b++) { off[b] = tot; tot += cnt[b]; }
+        fq *px = PX + (size_t)w * n * 2;
+        fq *py = px + n;
+        long fill[HB + 1];
+        memcpy(fill, off, sizeof fill);
+        for (long i = 0; i < n; i++) {
+            int v = digs[i * NW + w];
+            if (!v) continue;
+            int b = v > 0 ? v : -v;
+            long at = fill[b]++;
+            px[at] = pts[i].x;
+            py[at] = v > 0 ? pts[i].y : nys[i];
+        }
+        for (int b = 1; b <= HB; b++) if (cnt[b] > maxc) maxc = cnt[b];
+    }
+    /* lockstep tree rounds: one shared inversion across ALL windows */
+    fq *dinv = PX + (size_t)NW * n * 2;          /* n*NW scratch */
+    while (maxc > 1) {
+        long m = 0;
+        for (int w = 0; w < NW; w++) {
+            long *cnt = meta + (size_t)w * (2 * (HB + 1) + 1);
+            long *off = cnt + HB + 1;
+            fq *px = PX + (size_t)w * n * 2;
+            fq *py = px + n;
+            for (int b = 1; b <= HB; b++) {
+                long base = off[b];
+                for (long k2 = 0; 2 * k2 + 1 < cnt[b]; k2++) {
+                    const fq *xa = &px[base + 2 * k2];
+                    const fq *xb = &px[base + 2 * k2 + 1];
+                    fq d;
+                    fq_sub(&d, xb, xa);
+                    if (fq_is_zero(&d)) {
+                        if (memcmp(py[base + 2 * k2].v,
+                                   py[base + 2 * k2 + 1].v, sizeof(fq)) == 0)
+                            fq_dbl(&d, &py[base + 2 * k2]);
+                        else
+                            memcpy(d.v, RMODQ, sizeof RMODQ);
+                    }
+                    dinv[m++] = d;
+                }
+            }
+        }
+        if (m) {   /* batched inversion in place (prefix trick) */
+            fq *pref = (fq *)__builtin_malloc(sizeof(fq) * (size_t)m);
+            if (!pref) {
+                __builtin_free(digs); __builtin_free(nys);
+                __builtin_free(PX); __builtin_free(meta);
+                return -1;
+            }
+            fq accp, run;
+            memcpy(accp.v, RMODQ, sizeof RMODQ);
+            for (long j = 0; j < m; j++) {
+                pref[j] = accp;
+                fq_mul(&accp, &accp, &dinv[j]);
+            }
+            fq_inv(&run, &accp);
+            for (long j = m - 1; j >= 0; j--) {
+                fq d = dinv[j];
+                fq_mul(&dinv[j], &run, &pref[j]);
+                fq_mul(&run, &run, &d);
+            }
+            __builtin_free(pref);
+        }
+        long mi = 0;
+        maxc = 0;
+        for (int w = 0; w < NW; w++) {
+            long *cnt = meta + (size_t)w * (2 * (HB + 1) + 1);
+            long *off = cnt + HB + 1;
+            fq *px = PX + (size_t)w * n * 2;
+            fq *py = px + n;
+            for (int b = 1; b <= HB; b++) {
+                long base = off[b], wr = 0;
+                long pairs = cnt[b] / 2;
+                for (long k2 = 0; k2 < pairs; k2++) {
+                    fq xa = px[base + 2 * k2], ya = py[base + 2 * k2];
+                    fq xb = px[base + 2 * k2 + 1], yb = py[base + 2 * k2 + 1];
+                    fq d = dinv[mi++];
+                    fq dx, lam, num;
+                    fq_sub(&dx, &xb, &xa);
+                    if (fq_is_zero(&dx)) {
+                        if (memcmp(ya.v, yb.v, sizeof(fq)) != 0)
+                            continue;               /* P + (-P): drop */
+                        fq xx;
+                        fq_mul(&xx, &xa, &xa);
+                        fq_dbl(&num, &xx);
+                        fq_add(&num, &num, &xx);
+                    } else {
+                        fq_sub(&num, &yb, &ya);
+                    }
+                    fq_mul(&lam, &num, &d);
+                    fq x3, y3, t;
+                    fq_mul(&x3, &lam, &lam);
+                    fq_sub(&x3, &x3, &xa);
+                    fq_sub(&x3, &x3, &xb);
+                    fq_sub(&t, &xa, &x3);
+                    fq_mul(&y3, &lam, &t);
+                    fq_sub(&y3, &y3, &ya);
+                    px[base + wr] = x3;
+                    py[base + wr] = y3;
+                    wr++;
+                }
+                if (cnt[b] & 1) {
+                    px[base + wr] = px[base + cnt[b] - 1];
+                    py[base + wr] = py[base + cnt[b] - 1];
+                    wr++;
+                }
+                cnt[b] = wr;
+                if (wr > maxc) maxc = wr;
+            }
+        }
+    }
+    /* per-window bucket fold + 2^C-weighted window fold */
+    pt total;
+    pt_set_identity(&total);
+    for (int w = NW - 1; w >= 0; w--) {
+        if (!pt_is_identity(&total))
+            for (int d = 0; d < C; d++) pt_double(&total, &total);
+        long *cnt = meta + (size_t)w * (2 * (HB + 1) + 1);
+        long *off = cnt + HB + 1;
+        fq *px = PX + (size_t)w * n * 2;
+        fq *py = px + n;
+        pt run, acc;
+        pt_set_identity(&run);
+        pt_set_identity(&acc);
+        for (int b = HB; b >= 1; b--) {
+            if (cnt[b])
+                pt_add_mixed(&run, &run, &px[off[b]], &py[off[b]]);
+            pt_add(&acc, &acc, &run);
+        }
+        pt_add(&total, &total, &acc);
+    }
+    store_pt(out, &total);
+    __builtin_free(digs);
+    __builtin_free(nys);
+    __builtin_free(PX);
+    __builtin_free(meta);
+    return 0;
+}
+
 static int g1_msm_core(pt *pts, const u64 *scalars, long n, u64 *out) {
     /* the commitment bases are affine (z == 1): batch-affine tree path
      * with signed c-bit digits (half the buckets) */
     int affine = 1;
     for (long i = 0; i < n && affine; i++)
         affine = memcmp(pts[i].z.v, RMODQ, sizeof RMODQ) == 0;
+    if (affine && n <= MSM_SMALL_N)
+        return g1_msm_core_small(pts, scalars, n, out);
 
     /* window size: larger MSMs amortize the 2^(c-1)-bucket fold; the
      * generic (projective-input) fallback is fixed at c = 8 */

@@ -179,7 +179,11 @@ def main() -> None:
             # timeboxed SUBPROCESS: the leg must not be able to blow the
             # shared watchdog and destroy the already-measured primary
             # metrics (axon remote-compile stalls run to minutes)
-            budget = int(WATCHDOG_S - (time.perf_counter() - _t_start) - 120)
+            # cap the leg so a program-load-roulette draw (50-850 s observed,
+            # BASELINE round-5) cannot starve the 8-bit fallback tier below
+            budget = min(500,
+                         int(WATCHDOG_S - (time.perf_counter() - _t_start)
+                             - 120))
             env = dict(os.environ)
             h_dev = os.environ.get("SHA2CQ_BENCH_SHA_DEVICE", "1") == "1"
             env["SHA2CQ_H_DEVICE"] = "1" if h_dev else "0"

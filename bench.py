@@ -179,9 +179,11 @@ def main() -> None:
             # timeboxed SUBPROCESS: the leg must not be able to blow the
             # shared watchdog and destroy the already-measured primary
             # metrics (axon remote-compile stalls run to minutes)
-            # cap the leg so a program-load-roulette draw (50-850 s observed,
-            # BASELINE round-5) cannot starve the 8-bit fallback tier below
-            budget = min(500,
+            # overall leg budget leaves >=250 s for the 8-bit fallback tier;
+            # each ATTEMPT is capped at 350 s — a fresh process redraws the
+            # program-load roulette (17-850 s observed, BASELINE round-5),
+            # so two capped draws beat one long one
+            budget = min(700,
                          int(WATCHDOG_S - (time.perf_counter() - _t_start)
                              - 120))
             env = dict(os.environ)
@@ -190,23 +192,36 @@ def main() -> None:
             env["SHA2CQ_BENCH_WARM"] = "1"
             env["SHA2CQ_BENCH_BOTH_MULTIOPEN"] = "1"
             try:
-                # up to two attempts: a fresh process = a fresh tunnel
-                # session; wedged sessions exit 9 via the bench's own probe
+                # retries cover both wedged sessions (exit 9 via the bench's
+                # own probe) and slow-load draws (per-attempt timeout)
                 deadline = time.perf_counter() + budget
+                r = None
+                timed_out = 0
                 for attempt in range(2):
-                    left = int(deadline - time.perf_counter())
+                    left = min(350, int(deadline - time.perf_counter()))
                     if left < 60:
                         break
-                    r = subprocess.run(
-                        [sys.executable,
-                         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                      "benchmarks", "sha256_bench.py"),
-                         "1", str(kk)],
-                        env=env, timeout=left, capture_output=True, text=True)
+                    try:
+                        r = subprocess.run(
+                            [sys.executable,
+                             os.path.join(
+                                 os.path.dirname(os.path.abspath(__file__)),
+                                 "benchmarks", "sha256_bench.py"),
+                             "1", str(kk)],
+                            env=env, timeout=left, capture_output=True,
+                            text=True)
+                    except subprocess.TimeoutExpired:
+                        timed_out += 1
+                        r = None
+                        continue
                     if r.returncode != 9:
                         break
+                if r is None:
+                    raise subprocess.TimeoutExpired("sha256_bench", 350)
                 line = (r.stdout.strip().splitlines() or ["{}"])[-1]
                 stats = json.loads(line) if line.startswith("{") else {}
+                if timed_out:
+                    extra["sha256_attempts_timed_out"] = timed_out
                 if r.returncode == 0 and stats.get("prove_s") is not None:
                     extra["sha256_prove_s"] = stats["prove_s"]
                     extra["sha256_verify_s"] = stats["verify_s"]
@@ -223,7 +238,7 @@ def main() -> None:
                     extra["sha256_error"] = (
                         f"rc={r.returncode}: " + r.stdout[-80:].strip())
             except subprocess.TimeoutExpired:
-                extra["sha256_skipped"] = f"timeboxed at {budget}s"
+                extra["sha256_skipped"] = "timeboxed (350 s/attempt)"
         else:
             extra["sha256_skipped"] = "no cached table setup on this machine"
     except Exception as e:  # pragma: no cover

@@ -25,8 +25,12 @@ import time
 K = 18
 RUNS = 20
 BASELINE_BEST_FFT_S = 0.100  # reference-class CPU best_fft at 2^18 (see docstring)
-WATCHDOG_S = 900  # the axon tunnel can hang indefinitely when down; emit
-                  # an error JSON line instead of stalling the driver
+WATCHDOG_S = 1600  # the axon tunnel can hang indefinitely when down; emit
+                   # an error JSON line instead of stalling the driver.
+                   # Sized so ONE program-load-roulette draw (17-850 s
+                   # observed, BASELINE round-5 — even the NTT warmup can
+                   # draw one) still leaves room for the SHA legs; a DOWN
+                   # tunnel is caught by the 120 s probe, not this.
 PROBE_S = 120     # tunnel liveness probe budget (device claim, no compile)
 
 
